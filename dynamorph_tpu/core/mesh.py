@@ -1,0 +1,68 @@
+"""Device meshes and shardings.
+
+The reference parallelises by forking one OS process per GPU and statically
+splitting work (reference run_segmentation.py:74-84, run_VAE.py:73-85). The
+TPU-native replacement is a single process holding a `jax.sharding.Mesh` over
+all local devices; batches of patches/tiles are sharded over the ``data`` axis
+and parameters are replicated, with XLA inserting the collectives.
+
+The default mesh is 1-D (``data``,) because every workload axis in this
+framework (patches, tiles, frames) is embarrassingly batch-parallel; a
+``model`` axis is accepted for forward-compatibility and for the driver's
+multi-chip dry-run.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis_names=("data",), shape=None) -> Mesh:
+    """Build a Mesh over the first ``n_devices`` local devices.
+
+    Args:
+        n_devices: number of devices (default: all).
+        axis_names: mesh axis names.
+        shape: mesh shape; default puts all devices on the first axis.
+    """
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    devs = devs[:n_devices]
+    if shape is None:
+        shape = (n_devices,) + (1,) * (len(axis_names) - 1)
+    arr = np.array(devs).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def batch_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
+    """Shard dim 0 over ``axis``, replicate the rest."""
+    spec = P(axis, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def shard_batch(x, mesh: Mesh, axis: str = "data"):
+    """Device-put a host batch sharded over the mesh's ``axis``.
+
+    Pads the batch to a multiple of the axis size (returns the pad count so
+    callers can trim results). Padding uses edge replication so that padded
+    rows still flow through BatchNorm-free inference unchanged.
+    """
+    n = x.shape[0]
+    size = mesh.shape[axis]
+    n_pad = pad_to_multiple(n, size) - n
+    if n_pad:
+        pad_width = [(0, n_pad)] + [(0, 0)] * (x.ndim - 1)
+        x = np.pad(x, pad_width, mode="edge")
+    sharding = batch_sharding(mesh, x.ndim, axis)
+    return jax.device_put(x, sharding), n_pad

@@ -1,0 +1,148 @@
+"""Import reference PyTorch ``state_dict`` weights into dynamorph_tpu pytrees.
+
+The reference ships trained VQ-VAE weights as ``model.pt`` torch state dicts
+(reference run_training.py:542-545, pipeline/patch_VAE.py:436-441). These
+functions map the reference's ``nn.Sequential`` index names (layout documented
+at HiddenStateExtractor/vae.py:273-295, :401-414) onto our named param/state
+trees, transposing kernels into TPU layouts.
+
+Input is a plain ``{name: numpy array}`` dict — call sites convert torch
+tensors with ``{k: v.detach().cpu().numpy() for k, v in sd.items()}`` so this
+module never imports torch.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..nn.functional import (
+    conv_kernel_from_torch,
+    conv_transpose_kernel_from_torch,
+    linear_weight_from_torch,
+)
+
+
+def _conv(sd, prefix):
+    return {
+        "kernel": jnp.asarray(conv_kernel_from_torch(sd[prefix + ".weight"])),
+        "bias": jnp.asarray(sd[prefix + ".bias"]),
+    }
+
+
+def _deconv(sd, prefix):
+    return {
+        "kernel": jnp.asarray(conv_transpose_kernel_from_torch(sd[prefix + ".weight"])),
+        "bias": jnp.asarray(sd[prefix + ".bias"]),
+    }
+
+
+def _bn(sd, prefix):
+    params = {
+        "scale": jnp.asarray(sd[prefix + ".weight"]),
+        "offset": jnp.asarray(sd[prefix + ".bias"]),
+    }
+    state = {
+        "mean": jnp.asarray(sd[prefix + ".running_mean"]),
+        "var": jnp.asarray(sd[prefix + ".running_var"]),
+    }
+    return params, state
+
+
+def _linear(sd, prefix):
+    return {
+        "weight": jnp.asarray(linear_weight_from_torch(sd[prefix + ".weight"])),
+        "bias": jnp.asarray(sd[prefix + ".bias"]),
+    }
+
+
+def _residual_block(sd, prefix, num_layers):
+    """Reference ResidualBlock: layers.{i} Sequential with Conv at 1, BN at 2,
+    Conv at 4, BN at 5 (vae.py:189-196)."""
+    params, state = [], []
+    for i in range(num_layers):
+        b = f"{prefix}.layers.{i}"
+        bn1_p, bn1_s = _bn(sd, f"{b}.2")
+        bn2_p, bn2_s = _bn(sd, f"{b}.5")
+        params.append({
+            "conv1": _conv(sd, f"{b}.1"),
+            "bn1": bn1_p,
+            "conv2": _conv(sd, f"{b}.4"),
+            "bn2": bn2_p,
+        })
+        state.append({"bn1": bn1_s, "bn2": bn2_s})
+    return params, state
+
+
+def import_vqvae_z16(sd: dict, num_residual_layers: int = 2):
+    """state_dict -> (params, state) for VQVAEz16 (ref vae.py:273-295)."""
+    bn1_p, bn1_s = _bn(sd, "enc.2")
+    bn2_p, bn2_s = _bn(sd, "enc.5")
+    bn3_p, bn3_s = _bn(sd, "enc.8")
+    bn4_p, bn4_s = _bn(sd, "enc.11")
+    res_p, res_s = _residual_block(sd, "enc.12", num_residual_layers)
+    params = {
+        "enc": {
+            "conv0": _conv(sd, "enc.0"),
+            "conv1": _conv(sd, "enc.1"),
+            "bn1": bn1_p,
+            "conv2": _conv(sd, "enc.4"),
+            "bn2": bn2_p,
+            "conv3": _conv(sd, "enc.7"),
+            "bn3": bn3_p,
+            "conv4": _conv(sd, "enc.10"),
+            "bn4": bn4_p,
+            "res": res_p,
+        },
+        "vq": {"codebook": jnp.asarray(sd["vq.w.weight"])},
+        "dec": {
+            "deconv0": _deconv(sd, "dec.0"),
+            "deconv1": _deconv(sd, "dec.2"),
+            "deconv2": _deconv(sd, "dec.4"),
+            "conv_out": _conv(sd, "dec.6"),
+        },
+    }
+    state = {
+        "enc": {"bn1": bn1_s, "bn2": bn2_s, "bn3": bn3_s, "bn4": bn4_s, "res": res_s},
+    }
+    return params, state
+
+
+def import_vqvae_z32(sd: dict, num_residual_layers: int = 2):
+    """state_dict -> (params, state) for VQVAEz32 (ref vae.py:401-414)."""
+    bn1_p, bn1_s = _bn(sd, "enc.1")
+    bn2_p, bn2_s = _bn(sd, "enc.4")
+    enc_res_p, enc_res_s = _residual_block(sd, "enc.5", num_residual_layers)
+    dec_res_p, dec_res_s = _residual_block(sd, "dec.0", num_residual_layers)
+    dbn_p, dbn_s = _bn(sd, "dec.2")
+    params = {
+        "enc": {
+            "conv1": _conv(sd, "enc.0"),
+            "bn1": bn1_p,
+            "conv2": _conv(sd, "enc.3"),
+            "bn2": bn2_p,
+            "res": enc_res_p,
+        },
+        "vq": {"codebook": jnp.asarray(sd["vq.w.weight"])},
+        "dec": {
+            "res": dec_res_p,
+            "deconv0": _deconv(sd, "dec.1"),
+            "bn": dbn_p,
+            "deconv1": _deconv(sd, "dec.4"),
+        },
+    }
+    state = {
+        "enc": {"bn1": bn1_s, "bn2": bn2_s, "res": enc_res_s},
+        "dec": {"res": dec_res_s, "bn": dbn_s},
+    }
+    return params, state
+
+
+def load_state_dict_numpy(path: str) -> dict:
+    """Load a torch checkpoint into {name: np.ndarray} without keeping torch
+    tensors around. Requires torch at call time (host-side only)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return {k: np.asarray(v.detach().cpu().numpy()) for k, v in sd.items()}

@@ -1,0 +1,155 @@
+"""Vector-quantisation codebook lookup.
+
+The reference materialises a (B, K, D, H, W) broadcast difference tensor to
+compute codebook distances (reference HiddenStateExtractor/vae.py:52) —
+O(B*K*D*H*W) HBM traffic. TPU-native formulation: flatten latents to (N, D)
+and compute ||z||^2 - 2 z.E^T + ||E||^2 as a single MXU matmul, then argmin.
+Tie-breaking matches the reference's ``argmax(-dist)`` (first minimum wins),
+which is also ``jnp.argmin`` semantics.
+
+Two implementations:
+- ``_vq_xla``:     pure jnp; XLA fuses the row-norm adds into the matmul.
+- ``_vq_pallas``:  fused Pallas kernel — distance matmul, argmin, and the
+                   codebook gather (as a one-hot MXU matmul, no scatter/gather)
+                   in one VMEM-resident pass over N-tiles.
+
+``vq_lookup`` picks Pallas on TPU backends, XLA elsewhere (CPU tests).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# XLA reference implementation
+# ---------------------------------------------------------------------------
+
+def _vq_xla(z_flat: jax.Array, codebook: jax.Array):
+    """z_flat (N, D), codebook (K, D) -> (quantized (N, D), indices (N,))."""
+    z2 = jnp.sum(z_flat * z_flat, axis=-1, keepdims=True)            # (N, 1)
+    e2 = jnp.sum(codebook * codebook, axis=-1)                        # (K,)
+    dots = jnp.dot(z_flat, codebook.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    dist = z2 - 2.0 * dots + e2                                       # (N, K)
+    idx = jnp.argmin(dist, axis=-1)
+    quantized = jnp.take(codebook, idx, axis=0)
+    return quantized, idx.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel
+# ---------------------------------------------------------------------------
+
+def _vq_kernel(z_ref, eT_ref, e2_ref, q_ref, idx_ref):
+    """One N-tile: dist = -2 z@E^T + ||E||^2; argmin; q = onehot @ E^T^T.
+
+    ||z||^2 is constant across K and cannot change the argmin, so it is
+    dropped entirely (saves a VPU pass and improves numerical behaviour).
+
+    Shapes per tile: z (TN, D), eT (D, K), e2 (1, K) -> q (TN, D), idx (TN, 1).
+    """
+    z = z_ref[...]
+    eT = eT_ref[...]
+    # HIGHEST precision: bf16 MXU rounding of codebook values would flip
+    # near-tie argmins vs the f32 reference and make the "gather" inexact.
+    dots = jnp.dot(z, eT, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)               # (TN, K)
+    dist = e2_ref[...] - 2.0 * dots                                   # (TN, K)
+    idx = jnp.argmin(dist, axis=-1)                                   # (TN,)
+    k = eT.shape[1]
+    onehot = (idx[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, k), 1))
+    q_ref[...] = jnp.dot(onehot.astype(eT.dtype), eT.T,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+    idx_ref[...] = idx[:, None].astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n",))
+def _vq_pallas(z_flat: jax.Array, codebook: jax.Array, tile_n: int = 1024):
+    n, d = z_flat.shape
+    k = codebook.shape[0]
+    # Pad to TPU tiling: lanes = 128, and N to the tile size.
+    d_pad = _round_up(d, 128)
+    k_pad = _round_up(k, 128)
+    n_pad = _round_up(max(n, 8), tile_n)
+    zp = jnp.zeros((n_pad, d_pad), z_flat.dtype).at[:n, :d].set(z_flat)
+    # Padded codebook rows get +inf norm so they never win the argmin;
+    # their embedding values are zero so D-padding does not perturb dots.
+    ep = jnp.zeros((k_pad, d_pad), codebook.dtype).at[:k, :d].set(codebook)
+    e2 = jnp.sum(ep * ep, axis=-1)
+    e2 = jnp.where(jnp.arange(k_pad) >= k, jnp.inf, e2)[None, :]      # (1, K)
+
+    grid = (n_pad // tile_n,)
+    q, idx = pl.pallas_call(
+        _vq_kernel,
+        grid=grid,
+        # Interpret on non-TPU backends so CPU tests exercise the same kernel.
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * d_pad * k_pad + 2 * n_pad * k_pad * d_pad,
+            bytes_accessed=4 * (n_pad * d_pad * 2 + d_pad * k_pad + n_pad),
+            transcendentals=0,
+        ),
+    )(zp, ep.T, e2)
+    return q[:n, :d], idx[:n, 0]
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def vq_lookup(z: jax.Array, codebook: jax.Array, impl: str = "auto"):
+    """Nearest-codebook lookup.
+
+    Args:
+        z: latents, (..., D) — any leading shape (e.g. (B, H, W, D)).
+        codebook: (K, D) embedding table.
+        impl: "auto" | "xla" | "pallas".
+
+    Returns:
+        (quantized (..., D), indices (...,) int32)
+    """
+    lead = z.shape[:-1]
+    d = z.shape[-1]
+    z_flat = z.reshape(-1, d)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        q, idx = _vq_pallas(z_flat, codebook)
+    else:
+        q, idx = _vq_xla(z_flat, codebook)
+    return q.reshape(*lead, d), idx.reshape(lead)
+
+
+def vq_codebook_counts(indices: jax.Array, num_embeddings: int) -> jax.Array:
+    """Histogram of codebook usage (for perplexity monitoring)."""
+    onehot = jax.nn.one_hot(indices.reshape(-1), num_embeddings, dtype=jnp.float32)
+    return jnp.sum(onehot, axis=0)
+
+
+def perplexity_from_counts(counts: jax.Array) -> jax.Array:
+    """exp(entropy) of codebook usage (reference vae.py:66-69 semantics)."""
+    probs = counts / jnp.maximum(jnp.sum(counts), 1.0)
+    return jnp.exp(-jnp.sum(probs * jnp.log(probs + 1e-10)))

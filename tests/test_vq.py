@@ -1,0 +1,70 @@
+"""VQ lookup op: XLA path vs brute force, Pallas kernel (interpret mode on
+CPU) vs XLA path, and gradient flow into the codebook."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dynamorph_tpu.ops import vq as vq_mod
+from dynamorph_tpu.ops.vq import vq_lookup, vq_codebook_counts, perplexity_from_counts
+
+
+def _brute_force(z, codebook):
+    # Reference formulation (HiddenStateExtractor/vae.py:52-56): broadcast
+    # squared differences, argmax of negative distance.
+    dist = np.sum((z[:, None, :] - codebook[None, :, :]) ** 2, axis=-1)
+    idx = np.argmax(-dist, axis=1)
+    return codebook[idx], idx
+
+
+@pytest.mark.parametrize("n,d,k", [(37, 16, 64), (256, 16, 512), (100, 64, 64)])
+def test_vq_xla_matches_bruteforce(rng, n, d, k):
+    z = rng.randn(n, d).astype(np.float32)
+    cb = rng.randn(k, d).astype(np.float32)
+    q, idx = vq_lookup(jnp.asarray(z), jnp.asarray(cb), impl="xla")
+    q_ref, idx_ref = _brute_force(z, cb)
+    np.testing.assert_array_equal(np.asarray(idx), idx_ref)
+    np.testing.assert_allclose(np.asarray(q), q_ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("n,d,k", [(64, 16, 64), (300, 16, 512), (1025, 64, 128)])
+def test_vq_pallas_matches_xla(rng, n, d, k):
+    z = rng.randn(n, d).astype(np.float32)
+    cb = rng.randn(k, d).astype(np.float32)
+    q_x, idx_x = vq_lookup(jnp.asarray(z), jnp.asarray(cb), impl="xla")
+    # On CPU, pallas TPU kernels run via the interpreter.
+    q_p, idx_p = vq_mod._vq_pallas(jnp.asarray(z), jnp.asarray(cb))
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+    np.testing.assert_allclose(np.asarray(q_p), np.asarray(q_x), atol=1e-5)
+
+
+def test_vq_lookup_preserves_leading_shape(rng):
+    z = rng.randn(2, 4, 4, 16).astype(np.float32)
+    cb = rng.randn(64, 16).astype(np.float32)
+    q, idx = vq_lookup(jnp.asarray(z), jnp.asarray(cb), impl="xla")
+    assert q.shape == z.shape
+    assert idx.shape == (2, 4, 4)
+
+
+def test_perplexity_matches_reference_formula(rng):
+    idx = jnp.asarray(rng.randint(0, 8, size=100))
+    counts = vq_codebook_counts(idx, 8)
+    probs = np.bincount(np.asarray(idx), minlength=8) / 100.0
+    ref = np.exp(-np.sum(probs * np.log(probs + 1e-10)))
+    np.testing.assert_allclose(float(perplexity_from_counts(counts)), ref, rtol=1e-6)
+
+
+def test_codebook_gradient_flows_via_take(rng):
+    """Training path: q = take(codebook, idx) must scatter grads into rows."""
+    z = jnp.asarray(rng.randn(10, 4).astype(np.float32))
+    cb = jnp.asarray(rng.randn(6, 4).astype(np.float32))
+
+    def loss_fn(cb):
+        _, idx = vq_lookup(z, cb, impl="xla")
+        q = jnp.take(cb, idx, axis=0)
+        return jnp.mean((q - jax.lax.stop_gradient(z)) ** 2)
+
+    g = jax.grad(loss_fn)(cb)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
