@@ -1,0 +1,100 @@
+"""Jitted, mesh-sharded train/eval steps.
+
+The reference trains on a single GPU with a hand-rolled batch loop
+(reference run_training.py:455-551). TPU-native replacement: one jitted step,
+batch sharded over the mesh's ``data`` axis with parameters replicated; XLA
+inserts the gradient all-reduce (psum) and the cross-device BatchNorm
+statistics automatically from the sharding annotations (jit/pjit global-view
+semantics — equivalent math to single-device large-batch training).
+
+On-device augmentation (random flip + rot90, reference run_training.py:
+396-403) runs inside the step via lax.switch — no host round trip.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def augment_batch(key, batch, mask=None):
+    """Random per-batch flip + k*90-degree rotation of NCHW patches.
+
+    The reference draws one flip and one rotation for the whole batch
+    (run_training.py:396-403); we keep that semantics (cheap and keeps
+    relation matrices valid since all patches transform identically).
+    """
+    k1, k2 = jax.random.split(key)
+    flip = jax.random.bernoulli(k1)
+    rot = jax.random.randint(k2, (), 0, 4)
+
+    def apply(x):
+        x = jax.lax.cond(flip, lambda v: jnp.flip(v, axis=3), lambda v: v, x)
+        return jax.lax.switch(rot, [
+            lambda v: v,
+            lambda v: jnp.rot90(v, 1, axes=(2, 3)),
+            lambda v: jnp.rot90(v, 2, axes=(2, 3)),
+            lambda v: jnp.rot90(v, 3, axes=(2, 3)),
+        ], x)
+
+    batch = apply(batch)
+    if mask is not None:
+        mask = apply(mask)
+    return batch, mask
+
+
+def make_train_step(model, optimizer: optax.GradientTransformation,
+                    mesh: Optional[Mesh] = None, augment: bool = True,
+                    needs_key: bool = False):
+    """Build a jitted train step for a model with ``apply(params, state, x,
+    train, time_matching_mat, batch_mask)`` -> (decoded, losses, new_state).
+
+    If ``mesh`` is given, inputs are constrained: batch/mask sharded over
+    'data', params/opt_state replicated.
+    """
+
+    def loss_fn(params, state, batch, rel, mask, key):
+        kwargs = dict(train=True, time_matching_mat=rel, batch_mask=mask)
+        if needs_key:
+            _, losses, new_state = model.apply(params, state, batch, key, **kwargs)
+        else:
+            _, losses, new_state = model.apply(params, state, batch, **kwargs)
+        return losses["total_loss"], (losses, new_state)
+
+    def step(params, state, opt_state, batch, rel, mask, key):
+        if mesh is not None:
+            data_sh = NamedSharding(mesh, P("data"))
+            rep = NamedSharding(mesh, P())
+            batch = jax.lax.with_sharding_constraint(batch, data_sh)
+            if mask is not None:
+                mask = jax.lax.with_sharding_constraint(mask, data_sh)
+            params = jax.lax.with_sharding_constraint(params, rep)
+        if augment:
+            k_aug, key = jax.random.split(key)
+            batch, mask = augment_batch(k_aug, batch, mask)
+        (_, (losses, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, state, batch, rel, mask, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, losses
+
+    return jax.jit(step)
+
+
+def make_eval_step(model, mesh: Optional[Mesh] = None, needs_key: bool = False):
+    def step(params, state, batch, rel, mask, key):
+        if mesh is not None:
+            data_sh = NamedSharding(mesh, P("data"))
+            batch = jax.lax.with_sharding_constraint(batch, data_sh)
+        kwargs = dict(train=False, time_matching_mat=rel, batch_mask=mask)
+        if needs_key:
+            _, losses, _ = model.apply(params, state, batch, key, **kwargs)
+        else:
+            _, losses, _ = model.apply(params, state, batch, **kwargs)
+        return losses
+
+    return jax.jit(step)

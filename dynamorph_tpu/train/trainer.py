@@ -1,0 +1,139 @@
+"""VQ-VAE training loop (the reference `train` entry, run_training.py:455-551),
+TPU-native: one jitted, mesh-sharded train step; host only slices relation
+blocks and feeds batches.
+
+Batches stay trajectory-contiguous when a relation matrix is used
+(shuffle_data=False, reference run_training.py:471-472); the relation block
+for each batch is sliced from the csr matrix on host (cheap) while the
+previous step runs on device (dispatch is async).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh
+
+from . import data as data_utils
+from .checkpoint import save_checkpoint
+from .metrics import MetricsWriter
+from .steps import make_train_step, make_eval_step
+
+
+class EarlyStopping:
+    """Stop when val loss hasn't improved for `patience` epochs; checkpoint on
+    improvement (reference pipeline/train_utils.py:8-60)."""
+
+    def __init__(self, patience: int = 7, delta: float = 0.0,
+                 path: str = "checkpoint", verbose: bool = False):
+        self.patience = patience
+        self.delta = delta
+        self.path = path
+        self.verbose = verbose
+        self.counter = 0
+        self.best_score = None
+        self.early_stop = False
+        self.val_loss_min = np.inf
+
+    def __call__(self, val_loss: float, tree) -> None:
+        score = -val_loss
+        if self.best_score is None:
+            self.best_score = score
+            self._save(val_loss, tree)
+        elif score < self.best_score + self.delta:
+            self.counter += 1
+            if self.verbose:
+                print(f"EarlyStopping counter: {self.counter} / {self.patience}")
+            if self.counter >= self.patience:
+                self.early_stop = True
+        else:
+            self.best_score = score
+            self._save(val_loss, tree)
+            self.counter = 0
+
+    def _save(self, val_loss: float, tree) -> None:
+        if self.verbose:
+            print(f"Validation loss decreased ({self.val_loss_min:.6f} -> "
+                  f"{val_loss:.6f}). Saving model ...")
+        save_checkpoint(self.path, tree)
+        self.val_loss_min = val_loss
+
+
+def train_vqvae(model, dataset: np.ndarray, output_dir: str,
+                relation_mat=None, mask: Optional[np.ndarray] = None,
+                n_epochs: int = 10, lr: float = 1e-3, batch_size: int = 16,
+                shuffle_data: bool = False, transform: bool = False,
+                val_split_ratio: float = 0.15, patience: Optional[int] = 20,
+                mesh: Optional[Mesh] = None, seed: int = 0,
+                params=None, state=None):
+    """Train a VQ-VAE family model. Returns (params, state, history).
+
+    Args mirror the reference `train` (run_training.py:455-486): Adam(0.9,
+    0.999), per-epoch train/val loss averaging, TensorBoard scalars, early
+    stopping with best-val checkpoint at <output_dir>/model_ckpt.
+    """
+    assert val_split_ratio is None or 0 < val_split_ratio < 1
+    os.makedirs(output_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed)
+
+    if params is None:
+        init_key, key = jax.random.split(key)
+        params, state = model.init(init_key)
+
+    optimizer = optax.adam(lr, b1=0.9, b2=0.999)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(model, optimizer, mesh=mesh, augment=transform)
+    eval_step = make_eval_step(model, mesh=mesh)
+
+    n = len(dataset)
+    train_ids, val_ids = data_utils.split_data_ids(
+        n, val_split_ratio, shuffle_data, rng)
+    n_batches = int(np.ceil(len(train_ids) / batch_size))
+    n_val_batches = int(np.ceil(len(val_ids) / batch_size))
+
+    writer = MetricsWriter(output_dir)
+    ckpt_path = os.path.join(output_dir, "model_ckpt")
+    early = EarlyStopping(patience=patience or 10 ** 9, path=ckpt_path,
+                          verbose=True)
+    history = []
+
+    def run_epoch(ids, n_b, training, epoch_key):
+        nonlocal params, state, opt_state
+        losses_acc: Dict[str, list] = {}
+        for i in range(n_b):
+            bids = ids[i * batch_size: (i + 1) * batch_size]
+            batch = jnp.asarray(dataset[bids])
+            rel = data_utils.slice_relation_mat(relation_mat, bids)
+            rel = jnp.asarray(rel) if rel is not None else None
+            bmask = data_utils.slice_mask(mask, bids)
+            bmask = jnp.asarray(bmask) if bmask is not None else None
+            step_key = jax.random.fold_in(epoch_key, i)
+            if training:
+                params, state, opt_state, losses = train_step(
+                    params, state, opt_state, batch, rel, bmask, step_key)
+            else:
+                losses = eval_step(params, state, batch, rel, bmask, step_key)
+            for k, v in losses.items():
+                losses_acc.setdefault(k, []).append(float(v))
+        return {k: float(np.mean(v)) for k, v in losses_acc.items()}
+
+    for epoch in range(n_epochs):
+        ek_train, ek_val, key = jax.random.split(key, 3)
+        train_losses = run_epoch(train_ids, n_batches, True, ek_train)
+        val_losses = run_epoch(val_ids, n_val_batches, False, ek_val)
+        if shuffle_data:
+            rng.shuffle(train_ids)
+        writer.write("Loss", train_losses, epoch)
+        writer.write("Val loss", val_losses, epoch)
+        history.append({"epoch": epoch, "train": train_losses, "val": val_losses})
+        early(val_losses["total_loss"], {"params": params, "state": state})
+        if early.early_stop:
+            print("Early stopping")
+            break
+    writer.close()
+    return params, state, history
