@@ -1,0 +1,54 @@
+"""Shared CLI plumbing: -m <method> -c <config> pattern (reference
+run_*.py), site discovery, and well grouping.
+
+The reference forks one OS process per GPU/CPU (run_VAE.py:10-25,
+run_patch.py:11-22); on TPU a single process drives the device mesh, and
+parallelism lives inside the jitted batch, so methods run sequentially over
+wells/sites here.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from typing import List, Optional, Sequence
+
+from ..config import load_config
+from ..io.sites import get_im_sites, group_sites_by_well
+
+logging.basicConfig(
+    level=logging.INFO,
+    format="[%(levelname)4s: %(module)s:%(lineno)4s %(asctime)s] %(message)s",
+)
+
+
+def parse_method_config(choices: Sequence[str], default: Optional[str] = None,
+                        require_method: bool = True):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-m", "--method", type=str,
+                        required=require_method and default is None,
+                        choices=list(choices), default=default,
+                        help=f"Method: one of {list(choices)}")
+    parser.add_argument("-c", "--config", type=str, required=True,
+                        help="path to yaml configuration file")
+    args = parser.parse_args()
+    return args.method, load_config(args.config)
+
+
+def resolve_sites(raw_dir: str, fov) -> List[str]:
+    if fov and fov != "all":
+        return list(fov)
+    return get_im_sites(raw_dir)
+
+
+def segmented_sites(raw_dir: str, sites: Sequence[str]) -> List[str]:
+    """Sites that have both the raw stack and NN probability outputs
+    (reference run_patch.py:55-60)."""
+    out = [s for s in sites
+           if os.path.exists(os.path.join(raw_dir, f"{s}.npy"))
+           and os.path.exists(os.path.join(raw_dir, f"{s}_NNProbabilities.npy"))]
+    if not out:
+        raise AttributeError(
+            "no sites found in raw directory with preprocessed data and "
+            "matching NNProbabilities")
+    return out

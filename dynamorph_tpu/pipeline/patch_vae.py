@@ -1,0 +1,303 @@
+"""VAE dataset assembly + latent encoding pipeline stages.
+
+Behavioral spec: reference pipeline/patch_VAE.py (assemble_VAE :115-175,
+process_VAE :343-508, combine_dataset :178-254, trajectory_matching :257-318)
+and HiddenStateExtractor/vq_vae_supp.py:114-146 (prepare_dataset_v2).
+
+TPU-native redesign of the hot path: the reference encodes ONE patch per
+forward (patch_VAE.py:445-452); here patches are encoded in large jitted
+batches with async dispatch so host pickle-IO overlaps device compute. Output
+pickle formats are unchanged.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..io.pickles import load_pickle, save_pickle
+from ..io.sites import site_supp_folder, well_of
+from ..models.registry import get_model_cls
+from ..track.relations import generate_trajectory_relations
+from ..train.data import zscore_patch
+
+log = logging.getLogger(__name__)
+
+
+def _resize_chw(dat: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    """cv2 bilinear resize over trailing (H, W) of a (..., H, W) array
+    (reference cv2_fn_wrapper, extract_patches.py:21-37)."""
+    import cv2
+
+    shape = dat.shape
+    flat = dat.reshape((-1, shape[-2], shape[-1])).transpose((1, 2, 0))
+    out = cv2.resize(flat, hw)
+    if out.ndim == 2:
+        out = out[:, :, None]
+    new_h, new_w = out.shape[0], out.shape[1]
+    return out.transpose((2, 0, 1)).reshape(tuple(shape[:-2]) + (new_h, new_w))
+
+
+def prepare_dataset(dat_fs: Sequence[str], channels=None,
+                    input_shape: Tuple[int, int] = (128, 128),
+                    key: str = "masked_mat"):
+    """Read stacks_*.pkl dicts, select channels, resize to ``input_shape``,
+    stack sorted by patch name (reference vq_vae_supp.py:114-146)."""
+    tensors = {}
+    for dat_f in dat_fs:
+        log.info("loading data %s", dat_f)
+        file_dats = load_pickle(dat_f)
+        for k, v in file_dats.items():
+            dat = np.asarray(v[key])
+            cs = np.arange(dat.shape[0]) if channels is None else np.asarray(channels)
+            dat = dat[cs].astype(float)
+            tensors[k] = _resize_chw(dat, input_shape)
+    ts_keys = sorted(tensors.keys())
+    dataset = np.stack([tensors[k] for k in ts_keys], 0)
+    return dataset, ts_keys
+
+
+def assemble_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
+                 config, patch_type: Optional[str] = None) -> None:
+    """Assemble per-well VAE input dataset + relations + labels
+    (reference pipeline/patch_VAE.py:115-175)."""
+    le = config.latent_encoding
+    channels = le.channels
+    patch_type = patch_type or le.patch_type
+    assert len(channels) > 0, "At least one channel must be specified"
+    assert len({well_of(s) for s in sites}) == 1, \
+        "Sites should be from a single well/condition"
+    well = well_of(sites[0])
+
+    dat_fs = []
+    for site in sites:
+        folder = site_supp_folder(supp_folder, site)
+        dat_fs.extend(os.path.join(folder, f) for f in sorted(os.listdir(folder))
+                      if f.startswith("stacks"))
+
+    dataset, fs = prepare_dataset(dat_fs, channels=channels, key=patch_type)
+    assert fs == sorted(fs)
+
+    save_pickle(fs, os.path.join(raw_folder, f"{well}_file_paths.pkl"))
+    save_pickle(dataset, os.path.join(raw_folder, f"{well}_static_patches.pkl"))
+
+    well_supp = os.path.join(supp_folder, f"{well}-supps")
+    relations, labels = generate_trajectory_relations(fs, sites, well_supp)
+    save_pickle(relations,
+                os.path.join(raw_folder, f"{well}_static_patches_relations.pkl"))
+    save_pickle(labels,
+                os.path.join(raw_folder, f"{well}_static_patches_labels.pkl"))
+
+
+def encode_patches(model, params, state, dataset: np.ndarray,
+                   batch_size: int = 512):
+    """Batched TPU encode: (N, C, H, W) -> (z_before (N, D*), z_after (N, D*)).
+
+    Pads the trailing batch to keep one compiled program; dispatch is async so
+    the host loop stays ahead of the device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    encode = jax.jit(lambda p, s, x: model.encode(p, s, x)[:2])
+    n = len(dataset)
+    outs = []
+    for i in range(0, n, batch_size):
+        batch = dataset[i: i + batch_size]
+        if len(batch) < batch_size:
+            pad = batch_size - len(batch)
+            batch = np.concatenate(
+                [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)], 0)
+        outs.append(encode(params, state, jnp.asarray(batch, jnp.float32)))
+    z_b = np.concatenate([np.asarray(a) for a, _ in outs], 0)[:n]
+    z_a = np.concatenate([np.asarray(b) for _, b in outs], 0)[:n]
+    return z_b.reshape(n, -1), z_a.reshape(n, -1)
+
+
+def _build_model_from_config(le, num_inputs: int = 2):
+    cls = get_model_cls(le.network)
+    # num_inputs/num_residual_layers hardcoded in the reference process path
+    # (patch_VAE.py:426-429).
+    return cls(num_inputs=num_inputs,
+               num_hiddens=le.num_hiddens,
+               num_residual_hiddens=le.num_residual_hiddens,
+               num_residual_layers=2,
+               num_embeddings=le.num_embeddings,
+               commitment_cost=le.commitment_cost)
+
+
+def _load_model_weights(model, weights_path: str):
+    """Load either an orbax checkpoint dir or a torch .pt state_dict."""
+    import jax
+
+    if os.path.isdir(weights_path):
+        from ..train.checkpoint import restore_checkpoint
+
+        ck = restore_checkpoint(weights_path)
+        return ck["params"], ck["state"]
+    # torch state_dict
+    from ..models.torch_import import (import_vqvae_z16, import_vqvae_z32,
+                                       load_state_dict_numpy)
+
+    sd = load_state_dict_numpy(weights_path)
+    name = type(model).__name__
+    if name == "VQVAEz16":
+        return import_vqvae_z16(sd, model.num_residual_layers)
+    if name == "VQVAEz32":
+        return import_vqvae_z32(sd, model.num_residual_layers)
+    raise ValueError(f"No torch importer for {name}")
+
+
+def process_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
+                config, batch_size: int = 512) -> Dict[str, str]:
+    """Encode a well's static patches to latent vectors
+    (reference pipeline/patch_VAE.py:343-508), batched on TPU.
+
+    Saves ``<well>_latent_space.pkl`` (pre-VQ) and
+    ``<well>_latent_space_after.pkl`` (post-VQ) under
+    ``<raw_folder>/<model_name>/``; optionally 20 recon JPEGs.
+    """
+    le = config.latent_encoding
+    weights_dir = le.weights
+    if isinstance(weights_dir, (list, tuple)):
+        weights_dir = weights_dir[0]
+    assert len({well_of(s) for s in sites}) == 1, \
+        "Sites should be from a single well/condition"
+    well = well_of(sites[0])
+
+    fs = load_pickle(os.path.join(raw_folder, f"{well}_file_paths.pkl"))
+    dataset = load_pickle(os.path.join(raw_folder, f"{well}_static_patches.pkl"))
+    dataset = zscore_patch(np.squeeze(dataset)).astype(np.float32)
+    assert dataset.ndim == 4, f"dataset must be 4-D, got {dataset.ndim}"
+    assert len(fs) == len(dataset)
+
+    model_path = weights_dir
+    model_name = os.path.basename(os.path.normpath(weights_dir)) \
+        if weights_dir else "model"
+    output_dir = os.path.join(raw_folder, model_name)
+    os.makedirs(output_dir, exist_ok=True)
+
+    if "VAE" in le.network:
+        model = _build_model_from_config(le, num_inputs=2)
+        if model_path is not None and os.path.isdir(model_path) and \
+                os.path.exists(os.path.join(model_path, "model.pt")):
+            model_path = os.path.join(model_path, "model.pt")
+        params, state = _load_model_weights(model, model_path)
+
+        z_b, z_a = encode_patches(model, params, state, dataset, batch_size)
+        save_pickle(z_b, os.path.join(output_dir, f"{well}_latent_space.pkl"))
+        save_pickle(z_a, os.path.join(output_dir,
+                                      f"{well}_latent_space_after.pkl"))
+        if le.save_output:
+            _save_recon_images(model, params, state, dataset, output_dir)
+    elif "ResNet" in le.network:
+        from ..models.resnet_simclr import EncodeProject
+
+        model = EncodeProject(arch=le.network)
+        params, state = _load_model_weights(model, model_path)
+        h_s = model.encode_batched(params, state, dataset, out="z",
+                                   batch_size=batch_size)
+        save_pickle(h_s, os.path.join(output_dir, f"{well}_latent_space.pkl"))
+    else:
+        raise ValueError(f"Network {le.network} is not available")
+    return {"output_dir": output_dir}
+
+
+def _save_recon_images(model, params, state, dataset, output_dir, n: int = 20):
+    """20 random reconstruction JPEGs (reference patch_VAE.py:464-489)."""
+    import jax.numpy as jnp
+    import matplotlib
+
+    matplotlib.use("AGG")
+    import matplotlib.pyplot as plt
+
+    from ..io.images import im_adjust
+
+    rng = np.random.RandomState(0)
+    random_inds = rng.randint(0, len(dataset), (n,))
+    for i in random_inds:
+        sample = dataset[i: i + 1]
+        output, _, _ = model.apply(params, state, jnp.asarray(sample))
+        output = np.asarray(output)
+        ims = [im_adjust(sample[0, 0]), im_adjust(output[0, 0]),
+               im_adjust(sample[0, 1]), im_adjust(output[0, 1])]
+        names = ["phase", "phase_recon", "im_retard", "retard_recon"]
+        fig, ax = plt.subplots(2, 2, squeeze=False)
+        ax = ax.flatten()
+        fig.set_size_inches((15, 10))
+        for a, im, name in zip(ax, ims, names):
+            a.imshow(np.squeeze(im), cmap="gray")
+            a.axis("off")
+            a.set_title(name, fontsize=12)
+        fig.savefig(os.path.join(output_dir, "recon_%d.jpg" % i),
+                    dpi=300, bbox_inches="tight")
+        plt.close(fig)
+
+
+def combine_dataset(input_dataset_names: Sequence[str],
+                    output_dataset_name: str, save_mask: bool = True) -> None:
+    """Merge multiple per-well datasets into one, global sort by patch name
+    (reference pipeline/patch_VAE.py:178-254)."""
+    separate_fs, separate_dataset = [], []
+    separate_mask, separate_relations = [], []
+    for n in input_dataset_names:
+        separate_fs.append(load_pickle(n + "_file_paths.pkl"))
+        separate_dataset.append(load_pickle(n + "_static_patches.pkl"))
+        separate_relations.append(load_pickle(n + "_static_patches_relations.pkl"))
+        if save_mask:
+            separate_mask.append(load_pickle(n + "_static_patches_mask.pkl"))
+        else:
+            separate_mask.append([None] * len(separate_fs[-1]))
+
+    all_fs = sorted(sum(separate_fs, []))
+    assert len(all_fs) == len(set(all_fs)), "Found patches with identical name"
+    save_pickle(all_fs, output_dataset_name + "_file_paths.pkl")
+
+    name_to_src = {n: (i, j) for i, fs in enumerate(separate_fs)
+                   for j, n in enumerate(fs)}
+    name_to_idx = {n: i for i, n in enumerate(all_fs)}
+
+    all_dataset = np.stack(
+        [separate_dataset[i][j] for i, j in (name_to_src[n] for n in all_fs)], 0)
+    save_pickle(all_dataset, output_dataset_name + "_static_patches.pkl")
+    if save_mask:
+        all_mask = np.stack(
+            [separate_mask[i][j] for i, j in (name_to_src[n] for n in all_fs)], 0)
+        save_pickle(all_mask, output_dataset_name + "_static_patches_mask.pkl")
+
+    all_relations = {}
+    for fs, relation in zip(separate_fs, separate_relations):
+        for (a, b), v in relation.items():
+            all_relations[(name_to_idx[fs[a]], name_to_idx[fs[b]])] = v
+    save_pickle(all_relations,
+                output_dataset_name + "_static_patches_relations.pkl")
+
+
+def trajectory_matching(summary_folder: str, supp_folder: str,
+                        sites: Sequence[str], config=None) -> None:
+    """Map cell trajectories to patch-index lists
+    (reference pipeline/patch_VAE.py:257-318)."""
+    from ..track.relations import patch_name_to_tuple
+
+    assert len({well_of(s) for s in sites}) == 1, \
+        "Sites should be from a single well/condition"
+    well = well_of(sites[0])
+    fs = load_pickle(os.path.join(summary_folder, f"{well}_file_paths.pkl"))
+    patch_id_mapping = {patch_name_to_tuple(f, sites): i
+                        for i, f in enumerate(fs)}
+
+    site_trajs = {}
+    for site in sites:
+        folder = os.path.join(supp_folder, f"{well}-supps", site)
+        trajs = load_pickle(os.path.join(folder, "cell_traj.pkl"))
+        for i, t in enumerate(trajs[0]):
+            name = site + "/" + str(i)
+            traj = [patch_id_mapping[(site, t_point, t[t_point])]
+                    for t_point in sorted(t.keys())
+                    if (site, t_point, t[t_point]) in patch_id_mapping]
+            if len(traj) > 0.95 * len(t):
+                site_trajs[name] = traj
+    save_pickle(site_trajs,
+                os.path.join(summary_folder, f"{well}_trajectories.pkl"))
