@@ -1,0 +1,197 @@
+"""Patch extraction + trajectory building pipeline stages.
+
+Behavioral spec: reference pipeline/patch_VAE.py:22-112 (drivers) and
+SingleCellPatch/extract_patches.py:156-278 (per-site extraction). The
+per-cell window/mask/fill math runs on TPU in one fused program per frame
+(ops/patch.py) instead of the reference's per-cell host loops; pickle output
+format is unchanged ("stacks_<t>.pkl" dicts of {mat, masked_mat}).
+
+Known reference bug NOT replicated: the reference indexes
+``image_stack[channels]`` on axis 0 (time) instead of axis 1 (channel),
+silently truncating frames (extract_patches.py:190-193); we select channels
+on axis 1.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..io.pickles import load_pickle, save_pickle
+from ..io.sites import site_supp_folder
+from ..ops.patch import extract_cell_patches, labels_to_map, median_background
+from ..track.clustering import check_segmentation_dim, within_range
+from ..track.matching import build_site_trajectories
+
+log = logging.getLogger(__name__)
+
+
+def _round_up(n: int, m: int) -> int:
+    return max(m, ((n + m - 1) // m) * m)
+
+
+def process_site_extract_patches(site_path: str, site_segmentation_path: str,
+                                 site_supp_files_folder: str,
+                                 window_size: int = 256,
+                                 channels: Optional[Sequence[int]] = None,
+                                 save_fig: bool = False, reload: bool = True,
+                                 skip_boundary: bool = False,
+                                 cell_bucket: int = 32, **kwargs) -> None:
+    """Extract per-cell patches for every frame of one site
+    (reference extract_patches.py:156-278).
+
+    Cells are padded to buckets of ``cell_bucket`` so jit compiles a handful
+    of programs regardless of per-frame cell counts.
+    """
+    import jax.numpy as jnp
+
+    image_stack = np.load(site_path)
+    # channel selection on axis 1 (see module docstring re reference bug)
+    if channels is not None:
+        image_stack = image_stack[:, np.asarray(channels)]
+    segmentation_stack = np.load(site_segmentation_path)
+    cell_positions = load_pickle(
+        os.path.join(site_supp_files_folder, "cell_positions.pkl"))
+    cell_pixel_assignments = load_pickle(
+        os.path.join(site_supp_files_folder, "cell_pixel_assignments.pkl"))
+
+    n_frames, n_channels, n_z, x_size, y_size = image_stack.shape
+    half = window_size // 2
+    for t_point in range(n_frames):
+        stack_path = os.path.join(site_supp_files_folder,
+                                  "stacks_%d.pkl" % t_point)
+        if reload and os.path.exists(stack_path):
+            try:
+                load_pickle(stack_path)
+                continue
+            except Exception as e:
+                log.warning("failed reloading %s: %s", stack_path, e)
+        site_data: Dict[str, dict] = {}
+        raw_image = image_stack[t_point]            # (C, Z, H, W)
+        cell_segmentation = check_segmentation_dim(segmentation_stack[t_point])
+        positions, positions_labels = cell_pixel_assignments[t_point]
+        all_cells = cell_positions[t_point]
+
+        kept_cells = list(all_cells)
+        if skip_boundary:
+            kept_cells = [
+                (cid, pos) for cid, pos in kept_cells
+                if pos[0] - half >= 0 and pos[0] + half <= x_size
+                and pos[1] - half >= 0 and pos[1] + half <= y_size]
+
+        if kept_cells:
+            raw2d = raw_image[:, 0].astype(np.float32)      # z squeezed
+            bg_fill = median_background(
+                jnp.asarray(raw2d), jnp.asarray(
+                    cell_segmentation[0, 0].astype(np.float32)))
+            labels = labels_to_map((x_size, y_size), positions,
+                                   positions_labels)
+            n = len(kept_cells)
+            n_pad = _round_up(n, cell_bucket)
+            # In the padded frame, a window with origin (center - half) starts
+            # at index (center - half) + half = center.
+            centers = np.zeros((n_pad, 2), np.int32)
+            ids = np.full((n_pad,), -999, np.int32)
+            for i, (cid, pos) in enumerate(kept_cells):
+                centers[i] = (pos[0], pos[1])
+                ids[i] = cid
+            out = extract_cell_patches(
+                jnp.asarray(raw2d), jnp.asarray(labels),
+                jnp.asarray(centers), jnp.asarray(ids),
+                bg_fill, window_size=window_size)
+            # Fetch the full bucket: slicing on device would create a new
+            # tiny program per distinct n (a fresh compile each time);
+            # fetching the already-materialised buffers needs none. Masks
+            # travel as uint8 (4x smaller).
+            mat = np.asarray(out["mat"])[:n]
+            masked = np.asarray(out["masked_mat"])[:n]
+            tm = np.asarray(out["tm"])[:n].astype(np.float32)
+            tm2 = np.asarray(out["tm2"])[:n].astype(np.float32)
+
+            for i, (cid, pos) in enumerate(kept_cells):
+                cell_name = os.path.join(site_supp_files_folder,
+                                         "%d_%d.h5" % (t_point, cid))
+                # back to (C(+2), Z, H, W) float64 layout
+                m = np.concatenate(
+                    [mat[i][:, None], tm[i][None, None], tm2[i][None, None]],
+                    0).astype("float64")
+                mm = np.concatenate(
+                    [masked[i][:, None], tm[i][None, None],
+                     tm2[i][None, None]], 0).astype("float64")
+                site_data[cell_name] = {"mat": m, "masked_mat": mm}
+                if save_fig:
+                    from ..io.images import im_adjust  # noqa: F401
+        save_pickle(site_data, stack_path)
+        cell_positions[t_point] = kept_cells
+    save_pickle(cell_positions,
+                os.path.join(site_supp_files_folder, "cell_positions.pkl"))
+
+
+def process_site_build_trajectory(site_supp_files_folder: str,
+                                  min_length: int = 10, **kwargs) -> None:
+    """Track cells through time for one site; saves cell_traj.pkl
+    (reference generate_trajectories.py:372-438)."""
+    cell_positions = load_pickle(
+        os.path.join(site_supp_files_folder, "cell_positions.pkl"))
+    cell_pixel_assignments = load_pickle(
+        os.path.join(site_supp_files_folder, "cell_pixel_assignments.pkl"))
+    trajectories, trajectories_positions = build_site_trajectories(
+        cell_positions, cell_pixel_assignments, min_length=min_length)
+    save_pickle([trajectories, trajectories_positions],
+                os.path.join(site_supp_files_folder, "cell_traj.pkl"))
+
+
+def extract_patches(raw_folder: str, supp_folder: str, sites: Sequence[str],
+                    config, **kwargs) -> None:
+    """Driver over sites (reference pipeline/patch_VAE.py:22-74)."""
+    for site in sites:
+        site_path = os.path.join(raw_folder, f"{site}.npy")
+        seg_path = os.path.join(raw_folder, f"{site}_NNProbabilities.npy")
+        supp = site_supp_folder(supp_folder, site)
+        if not os.path.exists(site_path) or not os.path.exists(seg_path):
+            log.error("Site data not found %s", site_path)
+            continue
+        os.makedirs(supp, exist_ok=True)
+        process_site_extract_patches(
+            site_path, seg_path, supp,
+            window_size=config.patch.window_size,
+            channels=config.patch.channels,
+            save_fig=config.patch.save_fig,
+            reload=config.patch.reload,
+            skip_boundary=config.patch.skip_boundary)
+
+
+def build_trajectories(raw_folder: str, supp_folder: str,
+                       sites: Sequence[str], config, **kwargs) -> None:
+    """Driver over sites (reference pipeline/patch_VAE.py:77-112)."""
+    for site in sites:
+        site_path = os.path.join(raw_folder, f"{site}.npy")
+        supp = site_supp_folder(supp_folder, site)
+        if not os.path.exists(site_path) or not os.path.exists(supp):
+            log.error("Site data not found %s", site_path)
+            continue
+        process_site_build_trajectory(supp)
+
+
+def instance_segmentation(raw_folder: str, supp_folder: str,
+                          sites: Sequence[str], config, rerun: bool = True,
+                          **kwargs) -> None:
+    """Driver over sites (reference pipeline/segmentation.py:90-141)."""
+    from ..track.clustering import process_site_instance_segmentation
+
+    for site in sites:
+        site_path = os.path.join(raw_folder, f"{site}.npy")
+        seg_path = os.path.join(raw_folder, f"{site}_NNProbabilities.npy")
+        supp = site_supp_folder(supp_folder, site)
+        if not os.path.exists(site_path) or not os.path.exists(seg_path):
+            log.error("Site data not found %s", site_path)
+            continue
+        if not rerun and os.path.exists(
+                os.path.join(supp, "cell_positions.pkl")):
+            log.info("Found previously saved instance clustering for %s, skip",
+                     site)
+            continue
+        os.makedirs(supp, exist_ok=True)
+        process_site_instance_segmentation(site_path, seg_path, supp)
