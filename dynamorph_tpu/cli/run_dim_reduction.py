@@ -1,0 +1,21 @@
+"""PCA/UMAP dimensionality reduction over latent vectors.
+
+Usage: python -m dynamorph_tpu.cli.run_dim_reduction -m {pca,umap}
+-c <config.yml>   (reference run_dim_reduction.py:314-345).
+"""
+from __future__ import annotations
+
+from ..pipeline.dim_reduction import dim_reduction
+from .common import parse_method_config
+
+
+def main():
+    method, config = parse_method_config(choices=["pca", "umap"],
+                                         default="pca")
+    dr = config.dim_reduction
+    dim_reduction(method, dr.input_dirs, dr.output_dirs or dr.input_dirs,
+                  dr.weights_dir, config)
+
+
+if __name__ == "__main__":
+    main()

@@ -48,16 +48,17 @@ def _kaiming_uniform_bound(fan_in: int, a: float = math.sqrt(5.0)) -> float:
     return gain * math.sqrt(3.0 / fan_in)
 
 
-def init_conv(key, kh: int, kw: int, in_ch: int, out_ch: int, dtype=jnp.float32):
-    """Conv params: kernel (kh, kw, in, out) + bias (out,)."""
+def init_conv(key, kh: int, kw: int, in_ch: int, out_ch: int, dtype=jnp.float32,
+              use_bias: bool = True):
+    """Conv params: kernel (kh, kw, in, out) + optional bias (out,)."""
     k1, k2 = jax.random.split(key)
     fan_in = in_ch * kh * kw
     wb = _kaiming_uniform_bound(fan_in)
     bb = 1.0 / math.sqrt(fan_in)
-    return {
-        "kernel": jax.random.uniform(k1, (kh, kw, in_ch, out_ch), dtype, -wb, wb),
-        "bias": jax.random.uniform(k2, (out_ch,), dtype, -bb, bb),
-    }
+    p = {"kernel": jax.random.uniform(k1, (kh, kw, in_ch, out_ch), dtype, -wb, wb)}
+    if use_bias:
+        p["bias"] = jax.random.uniform(k2, (out_ch,), dtype, -bb, bb)
+    return p
 
 
 def init_conv_transpose(key, kh: int, kw: int, in_ch: int, out_ch: int, dtype=jnp.float32):
@@ -112,7 +113,9 @@ def conv2d(params, x, stride: int = 1, padding: int = 0):
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=_DIMS,
     )
-    return y + params["bias"]
+    if "bias" in params:
+        y = y + params["bias"]
+    return y
 
 
 def conv_transpose2d(params, x, stride: int = 2, padding: int = 1):

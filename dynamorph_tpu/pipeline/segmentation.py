@@ -1,0 +1,146 @@
+"""Semantic segmentation pipeline stage (drivers).
+
+Behavioral spec: reference pipeline/segmentation.py:13-141.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Sequence
+
+import numpy as np
+
+from ..seg.inference import predict_whole_map
+from ..seg.model import Segment
+
+log = logging.getLogger(__name__)
+
+
+def segmentation(raw_folder: str, supp_folder: str, val_folder: str,
+                 sites: Sequence[str], config, **kwargs) -> None:
+    """Semantic segmentation over sites (reference pipeline/segmentation.py:
+    13-87): loads the U-Net, predicts each site's stack with tiled ensemble
+    inference, saves <site>_NNProbabilities.npy + preview PNGs."""
+    si = config.segmentation_inference
+    if si.network != "UNet":
+        raise NotImplementedError(
+            f"segmentation model {si.network} not implemented")
+    model = Segment(input_shape=(len(si.channels), si.window_size,
+                                 si.window_size),
+                    n_classes=si.num_classes)
+    if not si.weights:
+        raise ValueError("segmentation weights path must be provided")
+    try:
+        model.load(si.weights)
+    except Exception as ex:
+        log.error(ex)
+        raise ValueError("Error in loading UNet weights")
+
+    for site in sites:
+        site_path = os.path.join(raw_folder, f"{site}.npy")
+        if not os.path.exists(site_path):
+            log.info("Site not found %s", site_path)
+            continue
+        log.info("Predicting %s", site_path)
+        try:
+            predict_whole_map(site_path, model,
+                              use_channels=np.array(si.channels).astype(int),
+                              batch_size=si.batch_size,
+                              n_supp=si.num_pred_rnd, **kwargs)
+        except Exception as ex:  # per-site failure tolerance (ref :76-86)
+            log.error(ex)
+            log.error("Error in predicting site %s", site)
+
+
+def segmentation_validation(raw_folder: str, supp_folder: str,
+                            val_folder: str, sites: Sequence[str],
+                            config, **kwargs) -> None:
+    """Render instance rims color-coded by predicted class onto raw frames
+    as a multipage TIFF (reference pipeline/segmentation_validation.py:67-168).
+
+    Rim color: green if mean non-MG prob > MG prob else red (:188-194).
+    Note: the reference's 'mg'/'nonmg'/'both' category filters read a stale
+    3-tuple cell_positions format that the current pipeline no longer writes;
+    here cells are classified from the NN probabilities directly, and
+    'unfiltered' renders every clustered cell.
+    """
+    from ..io.pickles import load_pickle
+
+    category = config.segmentation_inference.seg_val_cat
+    target = os.path.join(supp_folder, "validation_images")
+    os.makedirs(target, exist_ok=True)
+
+    for site in sites:
+        raw_stack = np.load(os.path.join(raw_folder, f"{site}.npy"))
+        nn_stack = np.load(os.path.join(raw_folder,
+                                        f"{site}_NNProbabilities.npy"))
+        well = site[:2]
+        supp = os.path.join(supp_folder, f"{well}-supps", site)
+        cell_pixels = load_pickle(
+            os.path.join(supp, "cell_pixel_assignments.pkl"))
+        cell_positions = load_pickle(os.path.join(supp, "cell_positions.pkl"))
+
+        stack = []
+        for t_point in range(len(raw_stack)):
+            mat = raw_stack[t_point, 0, 0] if raw_stack.ndim == 5 \
+                else raw_stack[t_point, :, :, 0]
+            mat = np.stack([mat] * 3, 2)
+            positions, inds = cell_pixels[t_point]
+            if category == "unfiltered":
+                ids = [i for i in np.unique(inds) if i >= 0]
+            else:
+                ids = []
+                for cid, _ in cell_positions[t_point]:
+                    pts = positions[inds == cid]
+                    probs = nn_stack[t_point][
+                        :, 0, pts[:, 0], pts[:, 1]].mean(1)
+                    is_mg = probs[1] > probs[2]
+                    if category == "both" or \
+                            (category == "mg" and is_mg) or \
+                            (category == "nonmg" and not is_mg):
+                        ids.append(cid)
+            for cid in ids:
+                new_mat = _append_segmentation(positions, inds, cid,
+                                               nn_stack, t_point, mat)
+                if new_mat is not None:
+                    mat = new_mat
+            stack.append(mat)
+
+        out = os.path.join(target, f"{site}_predictions.tif")
+        _save_multipage_tiff(np.stack(stack, 0).astype("uint16"), out)
+        log.info("saved validation overlay %s", out)
+
+
+def find_rim(cell_positions: np.ndarray) -> np.ndarray:
+    """Boundary pixels of a pixel set (reference
+    segmentation_validation.py:10-17)."""
+    masks = set(tuple(r) for r in cell_positions)
+    inner = set((r[0] - 1, r[1]) for r in masks) & \
+        set((r[0] + 1, r[1]) for r in masks) & \
+        set((r[0], r[1] - 1) for r in masks) & \
+        set((r[0], r[1] + 1) for r in masks)
+    return np.array(list(masks - inner))
+
+
+def _append_segmentation(positions, inds, cell_id, nn_stack, t_point, mat):
+    """Draw one cell's rim, green for non-MG / red for MG
+    (reference segmentation_validation.py:171-195)."""
+    if cell_id < 0:
+        return None
+    pts = positions[inds == cell_id]
+    rim = find_rim(pts)
+    # nn_stack: (T, n_classes, 1, X, Y)
+    mask_identities = nn_stack[t_point][:, 0, pts[:, 0], pts[:, 1]].mean(1)
+    if mask_identities[1] > mask_identities[2]:
+        mat[(rim[:, 0], rim[:, 1])] = np.array([0, 65535, 0]).reshape((1, 3))
+    else:
+        mat[(rim[:, 0], rim[:, 1])] = np.array([65535, 0, 0]).reshape((1, 3))
+    return mat
+
+
+def _save_multipage_tiff(stack: np.ndarray, path: str) -> None:
+    """Multipage uint16 TIFF (the reference used skimage/tifffile; PIL cannot
+    encode uint16 RGB, so we use our own baseline-TIFF writer)."""
+    from ..io.tiff import write_multipage_tiff
+
+    write_multipage_tiff(path, stack)

@@ -1,0 +1,129 @@
+"""PCA over latent vectors, TPU-native.
+
+Behavioral spec: reference run_dim_reduction.py:14-92 — fit PCA keeping the
+top PCs that explain 50% of variance (sklearn `PCA(0.5)`), save
+``pca_model.pkl`` + a PC1/PC2 scatter PNG, and transform latent pickles to
+``*_PCAed.pkl``.
+
+The fit runs as one XLA SVD/matmul on device instead of sklearn's CPU LAPACK
+path; component-count selection replicates sklearn's n_components=0.5
+semantics exactly. ``PCAModel`` is pickle-compatible downstream (exposes
+``transform``, ``components_``, ``mean_``, ``explained_variance_ratio_``)
+and ``process_pca`` also accepts checkpoints produced by sklearn.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..io.pickles import load_pickle, save_pickle
+
+
+class PCAModel:
+    """Minimal sklearn-compatible PCA container (fit on device)."""
+
+    def __init__(self, components: np.ndarray, mean: np.ndarray,
+                 explained_variance: np.ndarray,
+                 explained_variance_ratio: np.ndarray):
+        self.components_ = components
+        self.mean_ = mean
+        self.explained_variance_ = explained_variance
+        self.explained_variance_ratio_ = explained_variance_ratio
+        self.n_components_ = components.shape[0]
+
+    def transform(self, X: np.ndarray) -> np.ndarray:
+        return (np.asarray(X) - self.mean_) @ self.components_.T
+
+    def fit_transform_cached(self, X: np.ndarray) -> np.ndarray:
+        return self.transform(X)
+
+
+def fit_pca_device(train_data: np.ndarray,
+                   variance_fraction: float = 0.5) -> PCAModel:
+    """Full SVD on device; keep the smallest k with cumulative explained
+    variance ratio > variance_fraction (sklearn PCA(0.5) semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    X = jnp.asarray(train_data, jnp.float32)
+    mean = jnp.mean(X, axis=0)
+    Xc = X - mean
+    # economy SVD: (n, d) with d possibly > n
+    _, s, vt = jnp.linalg.svd(Xc, full_matrices=False)
+    n = train_data.shape[0]
+    explained_variance = (s ** 2) / (n - 1)
+    ratio = explained_variance / jnp.sum(explained_variance)
+    csum = np.cumsum(np.asarray(ratio))
+    k = int(np.searchsorted(csum, variance_fraction, side="right") + 1)
+    k = min(k, len(csum))
+    return PCAModel(
+        components=np.asarray(vt)[:k],
+        mean=np.asarray(mean),
+        explained_variance=np.asarray(explained_variance)[:k],
+        explained_variance_ratio=np.asarray(ratio)[:k],
+    )
+
+
+def zoom_axis(x, y, ax, zoom_cutoff: float = 1):
+    """Percentile-zoomed axes (reference run_dim_reduction.py:129-141)."""
+    xlim = [np.percentile(x, zoom_cutoff), np.percentile(x, 100 - zoom_cutoff)]
+    ylim = [np.percentile(y, zoom_cutoff), np.percentile(y, 100 - zoom_cutoff)]
+    ax.set_xlim(left=xlim[0], right=xlim[1])
+    ax.set_ylim(bottom=ylim[0], top=ylim[1])
+
+
+def fit_pca(train_data: np.ndarray, weights_dir: str, labels,
+            conditions: Sequence[str],
+            variance_fraction: float = 0.5) -> PCAModel:
+    """Fit + save pca_model.pkl + PCA.png scatter
+    (reference run_dim_reduction.py:14-51)."""
+    import matplotlib
+
+    matplotlib.use("AGG")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(weights_dir, exist_ok=True)
+    pca = fit_pca_device(train_data, variance_fraction)
+    pcas = pca.transform(train_data)
+    save_pickle(pca, os.path.join(weights_dir, "pca_model.pkl"))
+
+    plt.clf()
+    fig, ax = plt.subplots()
+    scatter = ax.scatter(pcas[:, 0], pcas[:, 1], s=7, c=labels,
+                         cmap="Paired", alpha=0.1)
+    scatter.set_facecolor("none")
+    zoom_axis(pcas[:, 0], pcas[:, 1], ax, zoom_cutoff=1)
+    try:
+        ax.legend(handles=scatter.legend_elements()[0], loc="upper right",
+                  title="condition", labels=list(conditions))
+    except Exception:
+        pass
+    ax.set_xlabel("PC 1")
+    ax.set_ylabel("PC 2")
+    plt.savefig(os.path.join(weights_dir, "PCA.png"), dpi=300)
+    plt.close(fig)
+    return pca
+
+
+def process_pca(input_dir: str, output_dir: str, weights_dir: str,
+                prefix: str, suffix: str = "_after") -> None:
+    """Transform latent pickles with a saved PCA model
+    (reference run_dim_reduction.py:53-92). Note the reference formats the
+    input name as '{prefix}_latent_space_{suffix}.pkl' with suffix='_after',
+    i.e. '..._latent_space__after.pkl' — we reproduce its *output* naming but
+    read the actual latent files written by process_vae."""
+    os.makedirs(output_dir, exist_ok=True)
+    model_path = os.path.join(weights_dir, "pca_model.pkl")
+    try:
+        pca = load_pickle(model_path)
+    except Exception as ex:
+        raise ValueError(f"Error in loading pre-saved PCA weights: {ex}")
+
+    input_fname = f"{prefix}_latent_space{suffix}.pkl"
+    output_fname = f"{prefix}_latent_space{suffix}_PCAed.pkl"
+    dats = load_pickle(os.path.join(input_dir, input_fname))
+    dats_ = pca.transform(dats)
+    save_pickle(dats_, os.path.join(output_dir, output_fname))

@@ -1,0 +1,87 @@
+"""UMAP dimensionality reduction (host-side, fit-only).
+
+Behavioral spec: reference run_dim_reduction.py:143-207 — grid over
+n_neighbors x (a, b), save [embedding, labels] pickles + multi-panel UMAP.png.
+The reference keeps UMAP fit-only (saved models from umap>=0.5 can't be
+pickled for transform, run_dim_reduction.py:255-256); same here.
+
+umap-learn is an optional dependency; calls raise a clear ImportError when it
+is unavailable in the environment.
+"""
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+
+from ..io.pickles import save_pickle
+from .pca import zoom_axis
+
+
+def _require_umap():
+    try:
+        import umap  # noqa: F401
+
+        return umap
+    except ImportError as e:
+        raise ImportError(
+            "umap-learn is required for UMAP dim reduction; install it or "
+            "use method='pca'") from e
+
+
+def fit_umap(train_data: np.ndarray, weights_dir: str, labels,
+             conditions: Sequence[str], n_nbrs=(15, 50, 200),
+             a_s=(1.58,), b_s=(0.9,)) -> None:
+    """Fit UMAP over a parameter grid and save embeddings + plots
+    (reference run_dim_reduction.py:143-207)."""
+    import matplotlib
+
+    matplotlib.use("AGG")
+    import matplotlib.pyplot as plt
+
+    umap = _require_umap()
+    os.makedirs(weights_dir, exist_ok=True)
+    n_plots = len(n_nbrs) * len(a_s) * len(b_s)
+    n_cols = 3
+    n_rows = max(int(np.ceil(n_plots / n_cols)), 1)
+    fig, ax = plt.subplots(n_rows, n_cols, squeeze=False)
+    ax = ax.flatten()
+    fig.set_size_inches((6.5 * n_cols, 5 * n_rows))
+    axis_count = 0
+    for n_nbr in n_nbrs:
+        for a, b in zip(a_s, b_s):
+            reducer = umap.UMAP(a=a, b=b, n_neighbors=n_nbr)
+            embedding = reducer.fit_transform(train_data)
+            save_pickle([embedding, labels], os.path.join(
+                weights_dir, f"umap_nbr{n_nbr}_a{a}_b{b}.pkl"))
+            scatter = ax[axis_count].scatter(
+                embedding[:, 0], embedding[:, 1], s=7, c=labels,
+                cmap="Paired", alpha=0.1)
+            scatter.set_facecolor("none")
+            ax[axis_count].set_title(f"n_neighbors={n_nbr}", fontsize=12)
+            zoom_axis(embedding[:, 0], embedding[:, 1], ax[axis_count])
+            ax[axis_count].set_xlabel("UMAP 1")
+            ax[axis_count].set_ylabel("UMAP 2")
+            axis_count += 1
+            fig.savefig(os.path.join(weights_dir, "UMAP.png"), dpi=300,
+                        bbox_inches="tight")
+    plt.close(fig)
+
+
+def umap_transform(input_dir: str, output_dir: str, weights_dir: str,
+                   prefix: str, suffix: str = "_after") -> None:
+    """Apply saved UMAP models (reference run_dim_reduction.py:94-127)."""
+    from ..io.pickles import load_pickle
+
+    os.makedirs(output_dir, exist_ok=True)
+    model_fnames = [f for f in os.listdir(weights_dir)
+                    if f.startswith("umap") and f.endswith(".pkl")]
+    for fname in model_fnames:
+        model_name = os.path.splitext(fname)[0]
+        model = load_pickle(os.path.join(weights_dir, fname))
+        dats = load_pickle(os.path.join(
+            input_dir, f"{prefix}_latent_space{suffix}.pkl"))
+        dats_ = model.transform(dats)
+        save_pickle(dats_, os.path.join(
+            output_dir, f"{prefix}_latent_space{suffix}_{model_name}.pkl"))

@@ -1,0 +1,4 @@
+from .model import Segment
+from .data import (load_input, load_label, generate_patches,
+                   generate_ordered_patches, preprocess)
+from .inference import predict_whole_map

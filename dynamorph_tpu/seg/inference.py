@@ -1,0 +1,114 @@
+"""Whole-map tiled segmentation inference with offset-ensemble averaging.
+
+Behavioral spec: reference NNsegmentation/data.py:350-482 — tile the frame
+into (rows x cols) windows, predict, reassemble; then n_supp passes at random
+offsets covering the interior (rows-1 x cols-1), each merged by running mean.
+
+TPU-native: all tiles of a pass form ONE device batch (padded to a bucket so
+jit compiles two programs total), instead of the reference's batches of 8
+host-looped through Keras. For a 2048x2048 frame that is 64 + 5x49 = 309
+U-Net forwards per frame fused into 6 device calls.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .data import load_input, plot_prediction_prob
+
+
+def _predict_tiles(model, tiles: np.ndarray, batch_bucket: int = 8):
+    """Predict a stack of (C, Z, x, y) tiles in one padded device batch."""
+    n = len(tiles)
+    n_pad = ((n + batch_bucket - 1) // batch_bucket) * batch_bucket
+    if n_pad != n:
+        tiles = np.concatenate(
+            [tiles, np.zeros((n_pad - n,) + tiles.shape[1:], tiles.dtype)], 0)
+    out = model.predict(tiles)     # (n_pad, n_classes, 1, x, y)
+    return out[:n]
+
+
+def predict_whole_map(file_path, model, use_channels: Sequence[int] = (),
+                      out_file_path: Optional[str] = None,
+                      batch_size: int = 8, n_supp: int = 5,
+                      time_slices: int = 1, rng=None, **kwargs):
+    """Segment a full 5-D stack (reference data.py:350-482).
+
+    Args:
+        file_path: path to .npy stack or the array itself.
+        model: a seg.Segment instance.
+        use_channels: channel indices for prediction.
+        out_file_path: output path; default <input>_NNProbabilities.npy.
+        batch_size: tile-count bucket for padding.
+        n_supp: number of random-offset supplementary passes.
+        rng: np.random-like generator for offsets (global np.random if None —
+            matching the reference's use of the global RNG, data.py:440-441).
+    """
+    if rng is None:
+        rng = np.random
+    inputs = load_input(file_path) if isinstance(file_path, str) else file_path
+    if len(use_channels) == 0:
+        use_channels = list(range(inputs.shape[1]))
+    inputs = inputs[:, np.array(use_channels)]
+
+    x_size, y_size = model.x_size, model.y_size
+    n_classes = model.n_classes
+    n_frame, n_channel, n_z, x_full, y_full = inputs.shape
+    assert x_full % x_size == 0 and y_full % y_size == 0
+    assert n_channel == model.n_channels
+    rows, cols = x_full // x_size, y_full // y_size
+
+    total_outputs = []
+    for t in range(n_frame - (time_slices - 1)):
+        inp = inputs[t:(t + time_slices)]
+
+        def tile_at(x0, y0):
+            patch = inp[..., x0:x0 + x_size, y0:y0 + y_size]
+            return patch[0] if time_slices == 1 else patch
+
+        # Base tiling pass
+        tiles = np.stack([tile_at(r * x_size, c * y_size)
+                          for r in range(rows) for c in range(cols)])
+        outputs = _predict_tiles(model, tiles, batch_size)
+        concatenated = -np.ones((n_classes, 1, x_full, y_full))
+        ct = 0
+        for r in range(rows):
+            for c in range(cols):
+                concatenated[..., r * x_size:(r + 1) * x_size,
+                             c * y_size:(c + 1) * y_size] = outputs[ct]
+                ct += 1
+
+        # Random-offset supplementary passes, running-mean merged
+        for i_supp in range(n_supp):
+            x_off = rng.randint(1, x_size)
+            y_off = rng.randint(1, y_size)
+            tiles = np.stack([
+                tile_at(x_off + r * x_size, y_off + c * y_size)
+                for r in range(rows - 1) for c in range(cols - 1)])
+            outputs = _predict_tiles(model, tiles, batch_size)
+            supp = np.copy(concatenated)
+            ct = 0
+            for r in range(rows - 1):
+                for c in range(cols - 1):
+                    supp[..., (x_off + r * x_size):(x_off + (r + 1) * x_size),
+                         (y_off + c * y_size):(y_off + (c + 1) * y_size)] = \
+                        outputs[ct]
+                    ct += 1
+            concatenated = (concatenated * (i_supp + 1) + supp) / (i_supp + 2)
+        total_outputs.append(concatenated)
+    total_outputs = np.stack(total_outputs, 0)
+
+    if isinstance(file_path, str):
+        import cv2
+
+        if out_file_path is None:
+            out_file_path = os.path.splitext(file_path)[0] + "_NNProbabilities"
+        np.save(out_file_path, total_outputs)
+        cv2.imwrite(os.path.splitext(file_path)[0] + ".png",
+                    inputs[0, 0, 0])
+        plot_prediction_prob(total_outputs[0],
+                             os.path.splitext(file_path)[0] + "_NNpred.png")
+        return None
+    return total_outputs

@@ -1,0 +1,188 @@
+"""Segment: the segmentation model wrapper (fit / predict / save / load).
+
+Behavioral spec: reference NNsegmentation/models.py:32-203 (Keras). TPU-native
+training: jitted optax Adam step on the weighted-CE logits loss, with
+ReduceLROnPlateau / TerminateOnNaN / per-epoch checkpoints mirroring the
+reference's callbacks (models.py:65-67), and ROC-AUC/F1 validation metrics
+(layers.py:118-143).
+"""
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.unet import UNet, weighted_ce_loss
+from ..train.checkpoint import restore_checkpoint, save_checkpoint
+from .data import preprocess
+
+
+class Segment:
+    """U-Net semantic segmentation model (reference NNsegmentation/models.py:32).
+
+    Args:
+        input_shape: (c, x, y) like the reference's channels-first input spec.
+        n_classes: number of prediction classes.
+        model_path: directory for checkpoints (a temp dir if omitted).
+    """
+
+    def __init__(self, input_shape=(2, 256, 256), n_classes: int = 3,
+                 freeze_encoder: bool = False, model_path: Optional[str] = None,
+                 seed: int = 0, **kwargs):
+        self.input_shape = tuple(input_shape)
+        self.n_channels = self.input_shape[0]
+        self.x_size, self.y_size = self.input_shape[-2:]
+        self.n_classes = n_classes
+        self.freeze_encoder = freeze_encoder
+        self.model_path = model_path or tempfile.mkdtemp()
+        self.net = UNet(n_channels=self.n_channels, n_classes=n_classes)
+        # jit the whole init: eager init would launch one tiny device program
+        # per layer (dozens of round-trips on remote-compile setups)
+        self.params, self.state = jax.jit(self.net.init)(
+            jax.random.PRNGKey(seed))
+        self._predict_fn = jax.jit(
+            lambda p, s, x: self.net.predict(p, s, x))
+        self._lr = 1e-3  # keras Adam default
+
+    # ------------------------------------------------------------------
+    def _make_step(self, lr):
+        optimizer = optax.adam(lr)
+
+        def loss_fn(params, state, x, y):
+            logits, new_state = self.net.apply(params, state, x, train=True)
+            return weighted_ce_loss(logits, y), new_state
+
+        @jax.jit
+        def step(params, state, opt_state, x, y):
+            (loss, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, state, x, y)
+            if self.freeze_encoder:
+                enc_keys = {"stem", "layer1", "layer2", "layer3", "layer4"}
+                grads = {k: (jax.tree_util.tree_map(jnp.zeros_like, v)
+                             if k in enc_keys else v)
+                         for k, v in grads.items()}
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_state, opt_state, loss
+
+        return optimizer, step
+
+    def fit(self, patches, label_input: str = "prob", batch_size: int = 8,
+            n_epochs: int = 10, valid_patches=None,
+            valid_label_input: str = "prob", class_weights=None,
+            seed: int = 0, **kwargs) -> List[dict]:
+        """Train on input-label pairs (reference models.py:98-156)."""
+        os.makedirs(self.model_path, exist_ok=True)
+        X, y = preprocess(patches, n_classes=self.n_classes,
+                          label_input=label_input, class_weights=class_weights)
+        X = X.reshape((-1,) + self.input_shape).astype(np.float32)
+        y = y.reshape((-1, self.n_classes + 1, self.x_size,
+                       self.y_size)).astype(np.float32)
+        assert X.shape[0] == y.shape[0]
+
+        valid = None
+        if valid_patches is not None:
+            vX, vy = preprocess(valid_patches, n_classes=self.n_classes,
+                                label_input=valid_label_input)
+            valid = (vX.reshape((-1,) + self.input_shape).astype(np.float32),
+                     vy.reshape((-1, self.n_classes + 1, self.x_size,
+                                 self.y_size)).astype(np.float32))
+
+        optimizer, step = self._make_step(self._lr)
+        opt_state = optimizer.init(self.params)
+        lr_scale = 1.0
+        best_val, plateau = np.inf, 0
+        history = []
+        rng = np.random.RandomState(seed)
+        n = X.shape[0]
+        for epoch in range(n_epochs):
+            order = rng.permutation(n)
+            losses = []
+            for i in range(0, n, batch_size):
+                bids = order[i: i + batch_size]
+                self.params, self.state, opt_state, loss = step(
+                    self.params, self.state, opt_state,
+                    jnp.asarray(X[bids]), jnp.asarray(y[bids]))
+                loss = float(loss)
+                if not np.isfinite(loss):  # TerminateOnNaN
+                    print("NaN loss encountered, terminating training")
+                    return history
+                losses.append(loss)
+            rec = {"epoch": epoch, "loss": float(np.mean(losses))}
+            if valid is not None:
+                rec.update(self._validate(valid))
+                # ReduceLROnPlateau(patience=5, min_lr=1e-7)
+                if rec["val_loss"] < best_val - 1e-12:
+                    best_val, plateau = rec["val_loss"], 0
+                else:
+                    plateau += 1
+                    if plateau >= 5 and self._lr * lr_scale > 1e-7:
+                        lr_scale *= 0.1
+                        optimizer, step = self._make_step(
+                            max(self._lr * lr_scale, 1e-7))
+                        opt_state = optimizer.init(self.params)
+                        plateau = 0
+                self.save(os.path.join(
+                    self.model_path,
+                    "weights.%02d-%.2f" % (epoch, rec["val_loss"])))
+            history.append(rec)
+            print(f"epoch {epoch}: " +
+                  "  ".join(f"{k}:{v:.4f}" for k, v in rec.items()
+                            if k != "epoch"))
+        return history
+
+    def _validate(self, valid) -> dict:
+        from sklearn.metrics import f1_score, roc_auc_score
+
+        vX, vy = valid
+        logits = []
+        for i in range(0, len(vX), 8):
+            lg, _ = jax.jit(lambda p, s, x: self.net.apply(p, s, x, False))(
+                self.params, self.state, jnp.asarray(vX[i: i + 8]))
+            logits.append(np.asarray(lg))
+        logits = np.concatenate(logits)
+        val_loss = float(weighted_ce_loss(jnp.asarray(logits),
+                                          jnp.asarray(vy)))
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=1))
+        y_pred = probs[:, 0]
+        y_true = vy[:, 0] > 0.5
+        try:
+            roc = roc_auc_score(y_true.flatten(), y_pred.flatten())
+            f1 = f1_score(y_true.flatten(), y_pred.flatten() > 0.5)
+        except ValueError:  # single-class validation batch
+            roc, f1 = float("nan"), float("nan")
+        return {"val_loss": val_loss, "val_roc_auc": float(roc),
+                "val_f1": float(f1)}
+
+    # ------------------------------------------------------------------
+    def predict(self, patches, label_input: str = "prob") -> np.ndarray:
+        """(B, n_classes, 1, x, y) softmax probabilities
+        (reference models.py:159-182)."""
+        if isinstance(patches, list):
+            X, _ = preprocess(patches, label_input=label_input)
+            X = X.reshape((-1,) + self.input_shape)
+        elif isinstance(patches, np.ndarray):
+            X = patches.reshape((-1,) + self.input_shape)
+        else:
+            raise ValueError("Input format not supported")
+        y = self._predict_fn(self.params, self.state,
+                             jnp.asarray(X, jnp.float32))
+        y = np.asarray(y)
+        assert y.shape[1:] == (self.n_classes, 1, self.x_size, self.y_size)
+        return y
+
+    def save(self, path: str) -> None:
+        save_checkpoint(path, {"params": self.params, "state": self.state})
+
+    def load(self, path: str) -> None:
+        ck = restore_checkpoint(path)
+        self.params, self.state = ck["params"], ck["state"]
+
+    @property
+    def batch_input_shape(self):
+        return tuple([-1] + list(self.input_shape))

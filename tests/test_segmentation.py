@@ -1,0 +1,139 @@
+"""U-Net segmentation: model shapes/training, data-pipeline parity vs
+reference numpy code, tiled ensemble inference, and the full seg pipeline."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import REFERENCE_DIR, has_reference
+
+from dynamorph_tpu.models.unet import UNet, weighted_ce_loss
+from dynamorph_tpu.seg.data import (generate_ordered_patches,
+                                    generate_patches, preprocess)
+from dynamorph_tpu.seg.inference import predict_whole_map
+from dynamorph_tpu.seg.model import Segment
+
+
+@pytest.fixture(scope="module")
+def tiny_unet():
+    net = UNet(n_channels=2, n_classes=3)
+    params, state = net.init(jax.random.PRNGKey(0))
+    return net, params, state
+
+
+def test_unet_output_shape(tiny_unet, rng):
+    net, params, state = tiny_unet
+    x = jnp.asarray(rng.rand(2, 2, 64, 64).astype(np.float32))
+    logits, _ = net.apply(params, state, x)
+    assert logits.shape == (2, 3, 64, 64)
+    probs = net.predict(params, state, x)
+    assert probs.shape == (2, 3, 1, 64, 64)
+    np.testing.assert_allclose(np.asarray(probs).sum(1), 1.0, atol=1e-5)
+
+
+def test_weighted_ce_ignores_zero_weight_pixels(rng):
+    logits = jnp.asarray(rng.randn(2, 3, 8, 8).astype(np.float32))
+    y = np.zeros((2, 4, 8, 8), np.float32)
+    y[:, 0] = 1.0          # all true class 0
+    y[:, 3] = 0.0          # zero weights -> zero loss
+    assert float(weighted_ce_loss(logits, jnp.asarray(y))) == 0.0
+    y[:, 3] = 1.0
+    assert float(weighted_ce_loss(logits, jnp.asarray(y))) > 0.0
+
+
+def _scene(rng, size=128, n_frames=2):
+    inputs = (rng.rand(n_frames, 2, 1, size, size) * 65535)
+    fg = rng.rand(n_frames, 1, 1, size, size) > 0.7
+    labels = np.concatenate([1.0 - fg, fg * 0.6, fg * 0.4], axis=1)
+    return inputs, labels
+
+
+def test_generate_patches_shapes(rng):
+    inputs, labels = _scene(rng, size=256)
+    patches = generate_patches(inputs, labels, n_patches=5, x_size=64,
+                               y_size=64, rotate=True, mirror=True, seed=0)
+    assert len(patches) == 5
+    for X, y in patches:
+        assert X.shape == (2, 1, 64, 64)
+        assert y.shape == (3, 1, 64, 64)
+
+
+@pytest.mark.skipif(not has_reference(), reason="no reference checkout")
+def test_preprocess_matches_reference(rng):
+    sys.path.insert(0, REFERENCE_DIR)
+    from NNsegmentation.data import preprocess as ref_preprocess
+
+    inputs, labels = _scene(rng)
+    patches = generate_ordered_patches(inputs, labels, x_size=64, y_size=64)
+    X, y = preprocess(patches, n_classes=3, label_input="prob")
+    Xr, yr = ref_preprocess(patches, n_classes=3, label_input="prob")
+    np.testing.assert_allclose(X, Xr)
+    np.testing.assert_allclose(y, yr)
+
+    # annotation labels
+    ann = (rng.randint(0, 4, size=(len(patches), 1, 1, 64, 64))).astype(int)
+    patches_ann = [[p[0], a] for p, a in zip(patches, ann)]
+    X, y = preprocess(patches_ann, n_classes=3, label_input="annotation")
+    Xr, yr = ref_preprocess(patches_ann, n_classes=3, label_input="annotation")
+    np.testing.assert_allclose(X, Xr)
+    np.testing.assert_allclose(y, yr)
+
+
+@pytest.mark.skipif(not has_reference(), reason="no reference checkout")
+def test_generate_patches_matches_reference_rng(rng, tmp_path):
+    """Seeded random patch generation draws the same crops as the reference."""
+    sys.path.insert(0, REFERENCE_DIR)
+    from NNsegmentation.data import generate_patches as ref_generate
+
+    inputs, labels = _scene(rng, size=256)
+    # the reference only accepts file paths
+    np.save(tmp_path / "in.npy", inputs)
+    np.save(tmp_path / "lb.npy", labels)
+    ours = generate_patches(inputs, labels, n_patches=4, x_size=64, y_size=64,
+                            rotate=False, mirror=True, seed=42)
+    theirs = ref_generate(str(tmp_path / "in.npy"), str(tmp_path / "lb.npy"),
+                          n_patches=4, x_size=64, y_size=64,
+                          rotate=False, mirror=True, seed=42)
+    for (xo, yo), (xr, yr) in zip(ours, theirs):
+        np.testing.assert_allclose(xo, xr)
+        np.testing.assert_allclose(yo, yr)
+
+
+def test_segment_fit_reduces_loss(tmp_path, rng):
+    inputs, labels = _scene(rng, size=128)
+    patches = generate_ordered_patches(inputs, labels, x_size=64, y_size=64)
+    model = Segment(input_shape=(2, 64, 64), n_classes=3,
+                    model_path=str(tmp_path))
+    history = model.fit(patches, batch_size=4, n_epochs=3,
+                        valid_patches=patches[:4])
+    assert history[-1]["loss"] < history[0]["loss"]
+    assert "val_roc_auc" in history[-1]
+
+
+def test_predict_whole_map_merging(tmp_path, rng):
+    """Tiled inference covers the full frame and ensemble passes average."""
+    inputs, _ = _scene(rng, size=128, n_frames=1)
+    model = Segment(input_shape=(2, 64, 64), n_classes=3,
+                    model_path=str(tmp_path))
+    out = predict_whole_map(inputs, model, n_supp=2,
+                            rng=np.random.RandomState(0))
+    assert out.shape == (1, 3, 1, 128, 128)
+    assert (out > -1).all()  # every pixel was predicted
+    np.testing.assert_allclose(out.sum(1), 1.0, atol=1e-4)
+
+
+def test_segment_save_load_roundtrip(tmp_path, rng):
+    model = Segment(input_shape=(2, 64, 64), n_classes=3,
+                    model_path=str(tmp_path / "m"))
+    x = rng.rand(1, 2, 1, 64, 64).astype(np.float32)
+    before = model.predict(x)
+    model.save(str(tmp_path / "ck"))
+    model2 = Segment(input_shape=(2, 64, 64), n_classes=3,
+                     model_path=str(tmp_path / "m2"), seed=123)
+    model2.load(str(tmp_path / "ck"))
+    after = model2.predict(x)
+    np.testing.assert_allclose(before, after, atol=1e-6)
