@@ -67,7 +67,12 @@ class VQVAEBase:
         inference we use the fused kernel output directly.
         """
         codebook = params["vq"]["codebook"]
-        q_fused, idx = vq_lookup(z, codebook, impl=self.vq_impl)
+        # The fused lookup kernel has no autodiff rule and none is needed:
+        # argmin indices carry no gradient. Call it on stop_gradient inputs so
+        # linearization never touches it; codebook gradients flow through the
+        # differentiable re-gather below (scatter-add into selected rows).
+        sg = jax.lax.stop_gradient
+        q_fused, idx = vq_lookup(sg(z), sg(codebook), impl=self.vq_impl)
         if train:
             quantized = jnp.take(codebook, idx, axis=0)
         else:

@@ -166,7 +166,40 @@ def batch_norm(params, state, x, train: bool, momentum: float = 0.1, eps: float 
 
 
 def linear(params, x):
-    return jnp.dot(x, params["weight"]) + params["bias"]
+    y = jnp.dot(x, params["weight"])
+    if "bias" in params:
+        y = y + params["bias"]
+    return y
+
+
+def init_linear_no_bias(key, in_dim: int, out_dim: int, dtype=jnp.float32):
+    wb = _kaiming_uniform_bound(in_dim)
+    return {"weight": jax.random.uniform(key, (in_dim, out_dim), dtype, -wb, wb)}
+
+
+def batch_norm1d(params, state, x, train: bool, momentum: float = 0.1,
+                 eps: float = 1e-5):
+    """BatchNorm over (B, C) features, torch BatchNorm1d semantics.
+
+    ``params`` may omit "offset" (reference BatchNorm1dNoBias,
+    HiddenStateExtractor/resnet.py:65-68 — bias frozen at zero)."""
+    if train:
+        mean = jnp.mean(x, axis=0)
+        var = jnp.var(x, axis=0)
+        n = x.shape[0]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    inv = jax.lax.rsqrt(var + eps)
+    y = (x - mean) * (inv * params["scale"])
+    if "offset" in params:
+        y = y + params["offset"]
+    return y, new_state
 
 
 # ---------------------------------------------------------------------------

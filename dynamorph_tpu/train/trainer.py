@@ -137,3 +137,90 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
             break
     writer.close()
     return params, state, history
+
+
+def train_triplet(model, train_set, val_set, output_dir: str,
+                  n_epochs: int = 10, lr: float = 1e-3,
+                  batch_size: int = 192, patience: Optional[int] = 20,
+                  earlystop_metric: str = "positive_triplet",
+                  retrain: bool = False, log_step_offset: int = 0,
+                  mesh: Optional[Mesh] = None, params=None, state=None,
+                  seed: int = 0):
+    """Triplet-loss training with positive-set sampling (the reference
+    `train_with_loader`, run_training.py:554-627).
+
+    ``train_set``/``val_set`` are TripletDataset instances
+    (train/triplet_data.py); each step runs the whole flattened batch through
+    one jitted forward+backward with the triplet miner inside.
+    """
+    import optax
+
+    from .triplet_data import triplet_batches
+
+    os.makedirs(output_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+
+    if params is None:
+        params, state = jax.jit(model.init)(jax.random.PRNGKey(seed))
+    ckpt_path = os.path.join(output_dir, "model_ckpt")
+    if os.path.exists(ckpt_path) and not retrain:
+        from .checkpoint import restore_checkpoint
+
+        print(f"Found previously saved model state {ckpt_path}. "
+              "Continue training...")
+        ck = restore_checkpoint(ckpt_path)
+        params, state = ck["params"], ck["state"]
+
+    optimizer = optax.adam(lr, b1=0.9, b2=0.999)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(params, state, batch, labels):
+        _, losses, new_state = model.apply(params, state, batch,
+                                           labels=labels, train=True)
+        return losses["total_loss"], (losses, new_state)
+
+    @jax.jit
+    def step(params, state, opt_state, batch, labels):
+        (_, (losses, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, state, batch, labels)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, losses
+
+    @jax.jit
+    def eval_step(params, state, batch, labels):
+        _, losses, _ = model.apply(params, state, batch, labels=labels,
+                                   train=False)
+        return losses
+
+    writer = MetricsWriter(output_dir)
+    early = EarlyStopping(patience=patience or 10 ** 9, path=ckpt_path,
+                          verbose=True)
+    history = []
+    for epoch in range(log_step_offset, n_epochs):
+        accum = {True: {}, False: {}}
+        for training, dataset in ((True, train_set), (False, val_set)):
+            for labels, data in triplet_batches(dataset, batch_size,
+                                                shuffle=training, rng=rng):
+                batch = jnp.asarray(data, jnp.float32)
+                lab = jnp.asarray(labels)
+                if training:
+                    params, state, opt_state, losses = step(
+                        params, state, opt_state, batch, lab)
+                else:
+                    losses = eval_step(params, state, batch, lab)
+                for k, v in losses.items():
+                    accum[training].setdefault(k, []).append(float(v))
+        train_losses = {k: float(np.mean(v)) for k, v in accum[True].items()}
+        val_losses = {k: float(np.mean(v)) for k, v in accum[False].items()}
+        writer.write("Loss", train_losses, epoch)
+        writer.write("Val loss", val_losses, epoch)
+        history.append({"epoch": epoch, "train": train_losses,
+                        "val": val_losses})
+        early(val_losses[earlystop_metric],
+              {"params": params, "state": state})
+        if early.early_stop:
+            print("Early stopping")
+            break
+    writer.close()
+    return params, state, history
