@@ -129,6 +129,119 @@ def process_site_extract_patches(site_path: str, site_segmentation_path: str,
                 os.path.join(site_supp_files_folder, "cell_positions.pkl"))
 
 
+def get_cell_rect_angle(tm: np.ndarray) -> float:
+    """Rotation angle of the cell's long axis via min-area rect
+    (reference extract_patches.py:353-370)."""
+    import cv2
+
+    out = cv2.findContours(tm.astype("uint8"), 1, 2)
+    contours = out[0] if len(out) == 2 else out[1]
+    areas = [cv2.contourArea(cnt) for cnt in contours]
+    rect = cv2.minAreaRect(contours[int(np.argmax(areas))])
+    w, h = rect[1]
+    ang = rect[2]
+    if w < h:
+        ang = ang - 90
+    return ang
+
+
+def process_site_extract_patches_align_axis(
+        site_path: str, site_segmentation_path: str,
+        site_supp_files_folder: str, window_size: int = 256,
+        channels: Optional[Sequence[int]] = None, save_fig: bool = False,
+        skip_boundary: bool = False, cell_bucket: int = 32, **kwargs) -> None:
+    """Long-axis-aligned patch extraction (reference extract_patches.py:
+    373-492): extract an enlarged window (window*sqrt(2)+1), rotate so the
+    cell long axis lies on x, crop the central window. Window/mask/fill math
+    runs on device (ops/patch.py); the warpAffine rotation stays host-side
+    cv2 for exact parity. Saves "stacks_rotated_<t>.pkl"."""
+    import cv2
+    import jax.numpy as jnp
+
+    from ..seg.data import cv2_fn_wrapper
+
+    output_window_size = window_size
+    window_size = int(np.ceil(window_size * np.sqrt(2)) + 1)
+    image_stack = np.load(site_path)
+    if channels is not None:
+        image_stack = image_stack[:, np.asarray(channels)]
+    segmentation_stack = np.load(site_segmentation_path)
+    cell_positions = load_pickle(
+        os.path.join(site_supp_files_folder, "cell_positions.pkl"))
+    cell_pixel_assignments = load_pickle(
+        os.path.join(site_supp_files_folder, "cell_pixel_assignments.pkl"))
+
+    n_frames, n_channels, n_z, x_size, y_size = image_stack.shape
+    half = window_size // 2
+    lo = window_size // 2 - output_window_size // 2
+    hi = window_size // 2 + output_window_size // 2
+    for t_point in range(n_frames):
+        site_data: Dict[str, dict] = {}
+        raw_image = image_stack[t_point]
+        cell_segmentation = check_segmentation_dim(segmentation_stack[t_point])
+        positions, positions_labels = cell_pixel_assignments[t_point]
+        all_cells = cell_positions[t_point]
+        kept_cells = list(all_cells)
+        if skip_boundary:
+            kept_cells = [
+                (cid, pos) for cid, pos in kept_cells
+                if pos[0] - half >= 0 and pos[0] + half <= x_size
+                and pos[1] - half >= 0 and pos[1] + half <= y_size]
+        if kept_cells:
+            raw2d = raw_image[:, 0].astype(np.float32)
+            bg_fill = median_background(
+                jnp.asarray(raw2d),
+                jnp.asarray(cell_segmentation[0, 0].astype(np.float32)))
+            labels = labels_to_map((x_size, y_size), positions,
+                                   positions_labels)
+            n = len(kept_cells)
+            n_pad = _round_up(n, cell_bucket)
+            centers = np.zeros((n_pad, 2), np.int32)
+            ids = np.full((n_pad,), -999, np.int32)
+            for i, (cid, pos) in enumerate(kept_cells):
+                centers[i] = (pos[0], pos[1])
+                ids[i] = cid
+            out = extract_cell_patches(
+                jnp.asarray(raw2d), jnp.asarray(labels),
+                jnp.asarray(centers), jnp.asarray(ids),
+                bg_fill, window_size=window_size)
+            mats = np.asarray(out["mat"])[:n]
+            maskeds = np.asarray(out["masked_mat"])[:n]
+            tms = np.asarray(out["tm"])[:n]
+            tm2s = np.asarray(out["tm2"])[:n]
+
+            for i, (cid, pos) in enumerate(kept_cells):
+                cell_name = os.path.join(site_supp_files_folder,
+                                         "%d_%d.h5" % (t_point, cid))
+                tm, tm2 = tms[i], tm2s[i]
+                ang = get_cell_rect_angle(tm)
+                M = cv2.getRotationMatrix2D(
+                    (window_size / 2, window_size / 2), ang, 1)
+                _tm = cv2.warpAffine(tm.astype("uint8"), M,
+                                     (window_size, window_size))
+                _tm2 = cv2.warpAffine(tm2.astype("uint8"), M,
+                                      (window_size, window_size))
+                _mat = cv2_fn_wrapper(cv2.warpAffine,
+                                      mats[i][:, None].astype("uint16"), M,
+                                      (window_size, window_size))
+                _masked = cv2_fn_wrapper(cv2.warpAffine,
+                                         maskeds[i][:, None].astype("uint16"),
+                                         M, (window_size, window_size))
+                tm_c = _tm[None, None, lo:hi, lo:hi]
+                tm2_c = _tm2[None, None, lo:hi, lo:hi]
+                mat_c = _mat[..., lo:hi, lo:hi]
+                masked_c = _masked[..., lo:hi, lo:hi]
+                site_data[cell_name] = {
+                    "mat": np.concatenate([mat_c, tm_c, tm2_c],
+                                          0).astype("float64"),
+                    "masked_mat": np.concatenate([masked_c, tm_c, tm2_c],
+                                                 0).astype("float64"),
+                }
+        save_pickle(site_data,
+                    os.path.join(site_supp_files_folder,
+                                 "stacks_rotated_%d.pkl" % t_point))
+
+
 def process_site_build_trajectory(site_supp_files_folder: str,
                                   min_length: int = 10, **kwargs) -> None:
     """Track cells through time for one site; saves cell_traj.pkl

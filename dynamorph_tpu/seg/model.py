@@ -40,21 +40,34 @@ class Segment:
         self.n_classes = n_classes
         self.freeze_encoder = freeze_encoder
         self.model_path = model_path or tempfile.mkdtemp()
-        self.net = UNet(n_channels=self.n_channels, n_classes=n_classes)
         # jit the whole init: eager init would launch one tiny device program
         # per layer (dozens of round-trips on remote-compile setups)
-        self.params, self.state = jax.jit(self.net.init)(
+        self.params, self.state = jax.jit(self._init_net)(
             jax.random.PRNGKey(seed))
-        self._predict_fn = jax.jit(
-            lambda p, s, x: self.net.predict(p, s, x))
+        self._predict_fn = jax.jit(self._predict_impl)
         self._lr = 1e-3  # keras Adam default
+
+    # -- overridable network definition --------------------------------
+    def _init_net(self, key):
+        self.net = UNet(n_channels=self.n_channels, n_classes=self.n_classes)
+        return self.net.init(key)
+
+    def _apply_logits(self, params, state, x, train):
+        """x: (B,) + input_shape -> ((B, n_classes, x, y) logits, new_state)."""
+        return self.net.apply(params, state, x, train=train)
+
+    def _predict_impl(self, params, state, x):
+        logits, _ = self._apply_logits(params, state, x, train=False)
+        probs = jax.nn.softmax(logits, axis=1)
+        return probs[:, :, None]
 
     # ------------------------------------------------------------------
     def _make_step(self, lr):
         optimizer = optax.adam(lr)
 
         def loss_fn(params, state, x, y):
-            logits, new_state = self.net.apply(params, state, x, train=True)
+            logits, new_state = self._apply_logits(params, state, x,
+                                                   train=True)
             return weighted_ce_loss(logits, y), new_state
 
         @jax.jit
@@ -142,7 +155,8 @@ class Segment:
         vX, vy = valid
         logits = []
         for i in range(0, len(vX), 8):
-            lg, _ = jax.jit(lambda p, s, x: self.net.apply(p, s, x, False))(
+            lg, _ = jax.jit(
+                lambda p, s, x: self._apply_logits(p, s, x, False))(
                 self.params, self.state, jnp.asarray(vX[i: i + 8]))
             logits.append(np.asarray(lg))
         logits = np.concatenate(logits)
@@ -186,3 +200,48 @@ class Segment:
     @property
     def batch_input_shape(self):
         return tuple([-1] + list(self.input_shape))
+
+
+class SegmentWithMultipleSlice(Segment):
+    """2.5-D segmentation: multiple z/time slices per sample.
+
+    Behavioral spec: reference NNsegmentation/models.py:206-258 — z slices
+    fold into the batch dimension through the shared U-Net (SplitSlice),
+    outputs merge back to channels (MergeSlices), then
+    post_conv(1x1, relu) + pred_head(1x1, linear).
+
+    input_shape is 4-D (c, z, x, y).
+    """
+
+    def __init__(self, unet_feat: int = 32, **kwargs):
+        self.unet_feat = unet_feat
+        super().__init__(**kwargs)
+        self.n_slices = self.input_shape[1]
+
+    def _init_net(self, key):
+        from ..nn import functional as F
+
+        self.net = UNet(n_channels=self.n_channels, n_classes=self.unet_feat)
+        k1, k2, k3 = jax.random.split(key, 3)
+        params, state = self.net.init(k1)
+        n_slices = self.input_shape[1]
+        params["post_conv"] = F.init_conv(
+            k2, 1, 1, n_slices * self.unet_feat, self.unet_feat)
+        params["pred_head"] = F.init_conv(
+            k3, 1, 1, self.unet_feat, self.n_classes)
+        return params, state
+
+    def _apply_logits(self, params, state, x, train):
+        from ..nn import functional as F
+        from ..models.common import nchw_to_nhwc, nhwc_to_nchw
+
+        b, c, z, xs, ys = x.shape
+        # SplitSlice: (B, C, Z, X, Y) -> (B*Z, C, X, Y)
+        flat = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(-1, c, xs, ys)
+        feats, new_state = self.net.apply(params, state, flat, train=train)
+        # MergeSlices: (B*Z, F, X, Y) -> (B, Z*F, X, Y)
+        merged = feats.reshape(b, z * self.unet_feat, xs, ys)
+        h = nchw_to_nhwc(merged)
+        h = F.relu(F.conv2d(params["post_conv"], h, 1, 0))
+        logits = F.conv2d(params["pred_head"], h, 1, 0)
+        return nhwc_to_nchw(logits), new_state

@@ -20,9 +20,23 @@ from scipy.optimize import linear_sum_assignment
 from scipy.spatial.distance import cdist
 
 
+# Above this size, use the native JV solver (dynamorph_tpu/native/lap.cpp).
+# Below it, scipy: for small matrices with ties (the no-match plateaus),
+# scipy's Hungarian picks the same optimum the reference picked, which keeps
+# tracking outputs bit-identical; for large matrices the optimum is unique
+# almost surely and JV is much faster.
+NATIVE_LAP_MIN_N = 256
+
+
 def solve_lap(cost_mat: np.ndarray):
-    """Linear assignment; isolated here so the backend can be swapped
-    (scipy Hungarian now, native JV available via native/lap)."""
+    """Linear assignment; scipy for small instances (tie-break parity with
+    the reference), native C++ Jonker-Volgenant for large ones."""
+    n = cost_mat.shape[0]
+    if n >= NATIVE_LAP_MIN_N and cost_mat.shape[0] == cost_mat.shape[1]:
+        from ..native.lap import lap_solve, native_lap_available
+
+        if native_lap_available():
+            return lap_solve(cost_mat)
     return linear_sum_assignment(cost_mat)
 
 

@@ -1,0 +1,142 @@
+"""Auxiliary components: 2.5D segmentation, morphology features, trajectory
+GIFs, rotated patch extraction vs reference."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import REFERENCE_DIR, has_reference
+
+
+def test_segment_multislice_shapes(rng, tmp_path):
+    from dynamorph_tpu.seg.model import SegmentWithMultipleSlice
+
+    model = SegmentWithMultipleSlice(unet_feat=8,
+                                     input_shape=(2, 3, 64, 64),
+                                     n_classes=3,
+                                     model_path=str(tmp_path))
+    x = rng.rand(2, 2, 3, 64, 64).astype(np.float32)
+    y = model.predict(x)
+    assert y.shape == (2, 3, 1, 64, 64)
+    np.testing.assert_allclose(np.asarray(y).sum(1), 1.0, atol=1e-5)
+
+
+def test_morphology_features(rng):
+    from dynamorph_tpu.analysis.morphology import (
+        get_angle_apr, get_aspect_ratio_no_rotation, get_intensity_profile,
+        get_size)
+
+    mask = np.zeros((64, 64))
+    mask[20:40, 25:35] = 1  # 20x10 rectangle, long axis vertical
+    size, area = get_size(mask)
+    assert size == 200
+    assert 150 <= area <= 200
+    w, h = get_aspect_ratio_no_rotation(mask)
+    assert (w, h) == (10, 20)
+    rw, rh, angle = get_angle_apr(mask)
+    assert max(rw, rh) >= 19  # long axis aligned after rotation
+
+    dat = [rng.rand(64, 64) * 65535 for _ in range(2)]
+    profile = get_intensity_profile(dat, mask)
+    assert len(profile) == 2 and len(profile[0]) == 4
+    peak, q95, top200, total = profile[0]
+    assert 0 <= q95 <= peak <= 1.0
+
+
+def test_save_traj_bbox_gif(tmp_path, rng):
+    from dynamorph_tpu.track.visualize import save_traj_bbox
+
+    stack = (rng.rand(3, 256, 256, 2) * 65535).astype(np.uint16)
+    traj = {0: 1, 1: 1, 2: 1}
+    traj_pos = {0: np.array([100, 100]), 1: np.array([110, 105]),
+                2: np.array([120, 110])}
+    path = str(tmp_path / "traj.gif")
+    save_traj_bbox(traj, traj_pos, stack, path)
+    from PIL import Image
+
+    im = Image.open(path)
+    assert im.n_frames == 3
+    assert im.size == (512, 512)
+
+
+@pytest.mark.skipif(not has_reference(), reason="no reference checkout")
+def test_align_axis_extraction_matches_reference(tmp_path, rng):
+    sys.path.insert(0, REFERENCE_DIR)
+    from SingleCellPatch import extract_patches as ref_ep
+
+    from dynamorph_tpu.io.pickles import load_pickle, save_pickle
+    from dynamorph_tpu.pipeline.patch import (
+        get_cell_rect_angle, process_site_extract_patches_align_axis)
+    from dynamorph_tpu.track.clustering import instance_clustering
+
+    # synthetic scene (same generator as test_patch_track)
+    size = 512
+    yy, xx = np.mgrid[:size, :size]
+    img = rng.rand(2, 1, size, size) * 1000 + 30000
+    fg = np.zeros((size, size), bool)
+    centers = rng.randint(120, size - 120, size=(3, 2))
+    for cy, cx in centers:
+        m = ((yy - cy) / 24.0) ** 2 + ((xx - cx) / 12.0) ** 2 < 1  # ellipses
+        fg |= m
+        img[:, 0][:, m] += 10000
+    bg = np.where(fg, 0.05, 0.97)
+    mg = np.where(fg, 0.9, 0.02)
+    seg = np.stack([bg, mg, 1 - bg - mg])[:, None]
+    images, segs = img[None], seg[None]
+
+    raw_path = tmp_path / "s.npy"
+    seg_path = tmp_path / "s_NNProbabilities.npy"
+    np.save(raw_path, images)
+    np.save(seg_path, segs)
+    res = instance_clustering(segs[0], instance_map=False)
+    cpos = {0: res[0]}
+    cpix = {0: res[1:]}
+
+    ours_dir = tmp_path / "ours"
+    ref_dir = tmp_path / "ref"
+    for d in (ours_dir, ref_dir):
+        d.mkdir()
+        save_pickle(cpos, str(d / "cell_positions.pkl"))
+        save_pickle(cpix, str(d / "cell_pixel_assignments.pkl"))
+
+    process_site_extract_patches_align_axis(
+        str(raw_path), str(seg_path), str(ours_dir), window_size=256)
+
+    # the reference targets cv2 3.x (`_, contours, _ = findContours`); shim
+    # the 4.x API so the reference code can run in this environment
+    import cv2 as _cv2
+
+    orig_find = _cv2.findContours
+
+    def _find_contours_3x(*args, **kwargs):
+        out = orig_find(*args, **kwargs)
+        return (None,) + out if len(out) == 2 else out
+
+    _cv2.findContours = _find_contours_3x
+    try:
+        ref_ep.process_site_extract_patches_align_axis(
+            str(raw_path), str(seg_path), str(ref_dir), window_size=256)
+    finally:
+        _cv2.findContours = orig_find
+
+    ours = load_pickle(str(ours_dir / "stacks_rotated_0.pkl"))
+    ref = load_pickle(str(ref_dir / "stacks_rotated_0.pkl"))
+    assert {os.path.basename(k) for k in ours} == \
+           {os.path.basename(k) for k in ref}
+    for k_o in ours:
+        k_r = [k for k in ref
+               if os.path.basename(k) == os.path.basename(k_o)][0]
+        for field in ("mat", "masked_mat"):
+            np.testing.assert_allclose(ours[k_o][field], ref[k_r][field],
+                                       atol=1.0)
+
+
+def test_config_run_patch_alias(tmp_path):
+    # dim_reduction weights_dirs alias maps to weights_dir
+    from dynamorph_tpu.config import load_config
+
+    p = tmp_path / "c.yml"
+    p.write_text("dim_reduction:\n  weights_dirs: '/tmp/w'\n")
+    cfg = load_config(str(p))
+    assert cfg.dim_reduction.weights_dir == "/tmp/w"
