@@ -267,13 +267,16 @@ def extract_patches(raw_folder: str, supp_folder: str, sites: Sequence[str],
             log.error("Site data not found %s", site_path)
             continue
         os.makedirs(supp, exist_ok=True)
-        process_site_extract_patches(
-            site_path, seg_path, supp,
-            window_size=config.patch.window_size,
-            channels=config.patch.channels,
-            save_fig=config.patch.save_fig,
-            reload=config.patch.reload,
-            skip_boundary=config.patch.skip_boundary)
+        from ..core.profiling import stage_timer
+
+        with stage_timer("extract_patches", site=site):
+            process_site_extract_patches(
+                site_path, seg_path, supp,
+                window_size=config.patch.window_size,
+                channels=config.patch.channels,
+                save_fig=config.patch.save_fig,
+                reload=config.patch.reload,
+                skip_boundary=config.patch.skip_boundary)
 
 
 def build_trajectories(raw_folder: str, supp_folder: str,

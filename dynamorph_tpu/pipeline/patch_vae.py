@@ -179,6 +179,8 @@ def process_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
     output_dir = os.path.join(raw_folder, model_name)
     os.makedirs(output_dir, exist_ok=True)
 
+    from ..core.profiling import stage_timer
+
     if "VAE" in le.network:
         model = _build_model_from_config(le, num_inputs=2)
         if model_path is not None and os.path.isdir(model_path) and \
@@ -186,7 +188,9 @@ def process_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
             model_path = os.path.join(model_path, "model.pt")
         params, state = _load_model_weights(model, model_path)
 
-        z_b, z_a = encode_patches(model, params, state, dataset, batch_size)
+        with stage_timer("process_vae_encode", well=well, n=len(dataset)):
+            z_b, z_a = encode_patches(model, params, state, dataset,
+                                      batch_size)
         save_pickle(z_b, os.path.join(output_dir, f"{well}_latent_space.pkl"))
         save_pickle(z_a, os.path.join(output_dir,
                                       f"{well}_latent_space_after.pkl"))

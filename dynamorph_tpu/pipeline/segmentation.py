@@ -43,10 +43,14 @@ def segmentation(raw_folder: str, supp_folder: str, val_folder: str,
             continue
         log.info("Predicting %s", site_path)
         try:
-            predict_whole_map(site_path, model,
-                              use_channels=np.array(si.channels).astype(int),
-                              batch_size=si.batch_size,
-                              n_supp=si.num_pred_rnd, **kwargs)
+            from ..core.profiling import stage_timer
+
+            with stage_timer("segmentation", site=site):
+                predict_whole_map(
+                    site_path, model,
+                    use_channels=np.array(si.channels).astype(int),
+                    batch_size=si.batch_size,
+                    n_supp=si.num_pred_rnd, **kwargs)
         except Exception as ex:  # per-site failure tolerance (ref :76-86)
             log.error(ex)
             log.error("Error in predicting site %s", site)
