@@ -5,10 +5,14 @@ Measures the north-star workload (BASELINE.json): batched encode of 128x128
 matching the reference's `run_VAE.py -m process` hot loop
 (reference pipeline/patch_VAE.py:445-452, which runs one patch at a time).
 
-Methodology: distinct device-resident input batches (host->device transfer in
-this dev environment goes through a ~20 MB/s tunnel that does not exist on a
-production TPU host, so it is excluded from the per-chip compute metric);
-many timed iterations cycling through the batches; final block_until_ready.
+Methodology (honest under async/pipelined runtimes):
+- each iteration's input DEPENDS on the previous iteration's output (a
+  data-dependency chain), so the device cannot overlap or elide iterations;
+- the only sync point is a host fetch of a scalar reduced from the last
+  output — `block_until_ready` alone is not a reliable barrier through
+  remote-execution relays;
+- throughput is the MARGINAL cost between a short and a long chain, which
+  cancels fixed dispatch/fetch latency.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is relative to the measured reference throughput on CPU
@@ -31,33 +35,39 @@ def main():
     from dynamorph_tpu.models import VQVAEz16
 
     batch = 1024
-    n_batches = 4
-    iters = 50
-
     model = VQVAEz16(num_embeddings=64)
-    params, state = model.init(jax.random.PRNGKey(0))
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)
-    xs = [
-        jax.device_put(rng.rand(batch, 2, 128, 128).astype(np.float32))
-        for _ in range(n_batches)
-    ]
+    x_in = jax.device_put(rng.rand(batch, 2, 128, 128).astype(np.float32))
 
-    encode = jax.jit(lambda p, s, x: model.encode(p, s, x))
+    @jax.jit
+    def chained(params, state, x):
+        z_before, z_after, idx = model.encode(params, state, x)
+        # next input depends on this output -> forces serial execution
+        return x + 1e-12 * jnp.mean(z_before), jnp.sum(z_before)
 
-    # Warmup / compile.
-    for x in xs:
-        zb, za, idx = encode(params, state, x)
-    jax.block_until_ready((zb, za, idx))
+    # warmup / compile
+    x, s = chained(params, state, x_in)
+    _ = float(s)
 
-    t0 = time.perf_counter()
-    outs = []
-    for i in range(iters):
-        outs.append(encode(params, state, xs[i % n_batches]))
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
+    def timed_chain(iters: int) -> float:
+        x = x_in
+        t0 = time.perf_counter()
+        s = None
+        for _ in range(iters):
+            x, s = chained(params, state, x)
+        _ = float(s)  # host fetch = true sync
+        return time.perf_counter() - t0
 
-    patches_per_sec = batch * iters / dt
+    short_iters, long_iters = 10, 60
+    # best-of-3 to reduce relay jitter
+    t_short = min(timed_chain(short_iters) for _ in range(3))
+    t_long = min(timed_chain(long_iters) for _ in range(3))
+    marginal = (t_long - t_short) / (long_iters - short_iters)
+    marginal = max(marginal, 1e-9)
+
+    patches_per_sec = batch / marginal
     print(json.dumps({
         "metric": "vqvae_z16_encode_patches_per_sec_per_chip",
         "value": round(patches_per_sec, 1),
