@@ -92,25 +92,48 @@ def assemble_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
 
 
 def encode_patches(model, params, state, dataset: np.ndarray,
-                   batch_size: int = 512):
+                   batch_size: int = 512, mesh=None):
     """Batched TPU encode: (N, C, H, W) -> (z_before (N, D*), z_after (N, D*)).
 
     Pads the trailing batch to keep one compiled program; dispatch is async so
-    the host loop stays ahead of the device.
+    the host loop stays ahead of the device. With more than one local device,
+    batches are sharded over the mesh's ``data`` axis (params replicated) —
+    the multi-chip scaling path replacing the reference's process-per-GPU
+    fan-out (reference run_VAE.py:73-85).
     """
     import jax
     import jax.numpy as jnp
+
+    if mesh is None and len(jax.devices()) > 1:
+        from ..core.mesh import make_mesh
+
+        mesh = make_mesh()
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data_sh = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+        params = jax.device_put(params, rep)
+        state = jax.device_put(state, rep)
+        n_dev = mesh.shape["data"]
+        batch_size = ((batch_size + n_dev - 1) // n_dev) * n_dev
+
+        def put(batch):
+            return jax.device_put(batch, data_sh)
+    else:
+        def put(batch):
+            return jnp.asarray(batch)
 
     encode = jax.jit(lambda p, s, x: model.encode(p, s, x)[:2])
     n = len(dataset)
     outs = []
     for i in range(0, n, batch_size):
-        batch = dataset[i: i + batch_size]
+        batch = dataset[i: i + batch_size].astype(np.float32)
         if len(batch) < batch_size:
             pad = batch_size - len(batch)
             batch = np.concatenate(
                 [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)], 0)
-        outs.append(encode(params, state, jnp.asarray(batch, jnp.float32)))
+        outs.append(encode(params, state, put(batch)))
     z_b = np.concatenate([np.asarray(a) for a, _ in outs], 0)[:n]
     z_a = np.concatenate([np.asarray(b) for _, b in outs], 0)[:n]
     return z_b.reshape(n, -1), z_a.reshape(n, -1)
