@@ -1,0 +1,39 @@
+"""Run the whole pipeline (or a span of stages) with one command.
+
+Usage:
+    python -m dynamorph_tpu.cli.run_pipeline -c <config.yml> \
+        [--stages segmentation instance_segmentation ...] [--no-resume]
+
+Directories come from the ``patch`` section (raw_dirs/supp_dirs); stages
+default to the full graph (see pipeline/orchestrator.py).
+"""
+from __future__ import annotations
+
+import argparse
+
+from ..config import load_config
+from ..pipeline.orchestrator import STAGES, run_pipeline
+from .common import resolve_sites
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", type=str, required=True)
+    parser.add_argument("--stages", nargs="*", default=None,
+                        choices=STAGES, help="subset of stages to run")
+    parser.add_argument("--no-resume", action="store_true",
+                        help="re-run stages even if outputs exist")
+    args = parser.parse_args()
+    config = load_config(args.config)
+
+    for raw_dir, supp_dir in zip(config.patch.raw_dirs,
+                                 config.patch.supp_dirs):
+        sites = resolve_sites(raw_dir, config.patch.fov)
+        executed = run_pipeline(raw_dir, supp_dir, sites, config,
+                                stages=args.stages,
+                                resume=not args.no_resume)
+        print(f"{raw_dir}: executed stages {executed}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""One-command pipeline orchestration.
+
+The reference chains five CLIs by hand through intermediate files
+(README.md:111-142); this driver runs any contiguous span of stages for an
+experiment with per-stage timing, skip-if-output-exists idempotence, and
+per-site failure tolerance — the framework's "stage graph" in one place.
+
+Stage order: segmentation -> instance_segmentation -> extract_patches ->
+build_trajectories -> assemble -> process -> trajectory_matching -> pca.
+(Preprocessing runs separately via run_preproc: it maps over different
+directories.)
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import List, Optional, Sequence
+
+from ..core.profiling import stage_timer
+from ..io.sites import group_sites_by_well
+from .patch import build_trajectories, extract_patches, instance_segmentation
+from .patch_vae import assemble_vae, process_vae, trajectory_matching
+from .segmentation import segmentation
+
+log = logging.getLogger(__name__)
+
+STAGES = ["segmentation", "instance_segmentation", "extract_patches",
+          "build_trajectories", "assemble", "process",
+          "trajectory_matching", "pca"]
+
+
+def _well_outputs_exist(raw_dir: str, well: str, names: Sequence[str]) -> bool:
+    return all(os.path.exists(os.path.join(raw_dir, f"{well}{n}"))
+               for n in names)
+
+
+def run_pipeline(raw_dir: str, supp_dir: str, sites: Sequence[str], config,
+                 stages: Optional[Sequence[str]] = None,
+                 resume: bool = True) -> List[str]:
+    """Run the stage graph over one experiment directory.
+
+    Args:
+        stages: subset of STAGES to run (default: all).
+        resume: skip stages whose outputs already exist.
+
+    Returns the list of stages actually executed.
+    """
+    stages = list(stages) if stages else list(STAGES)
+    unknown = set(stages) - set(STAGES)
+    if unknown:
+        raise ValueError(f"unknown stages {sorted(unknown)}; "
+                         f"available: {STAGES}")
+    executed = []
+
+    def run(stage: str, fn, skip_if=None):
+        if stage not in stages:
+            return
+        if resume and skip_if is not None and skip_if():
+            log.info("[pipeline] %s: outputs exist, skipping", stage)
+            return
+        log.info("[pipeline] running %s", stage)
+        with stage_timer(stage):
+            fn()
+        executed.append(stage)
+
+    wells = group_sites_by_well(sites)
+
+    run("segmentation",
+        lambda: segmentation(raw_dir, supp_dir, None, sites, config),
+        skip_if=lambda: all(
+            os.path.exists(os.path.join(raw_dir, f"{s}_NNProbabilities.npy"))
+            for s in sites))
+    from ..io.sites import site_supp_folder
+
+    run("instance_segmentation",
+        lambda: instance_segmentation(raw_dir, supp_dir, sites, config,
+                                      rerun=not resume),
+        skip_if=lambda: all(
+            os.path.exists(os.path.join(site_supp_folder(supp_dir, s),
+                                        "cell_positions.pkl"))
+            for s in sites))
+    run("extract_patches",
+        lambda: extract_patches(raw_dir, supp_dir, sites, config))
+    run("build_trajectories",
+        lambda: build_trajectories(raw_dir, supp_dir, sites, config))
+    run("assemble",
+        lambda: [assemble_vae(raw_dir, supp_dir, ws, config,
+                              patch_type="mat")
+                 for ws in wells.values()],
+        skip_if=lambda: all(_well_outputs_exist(
+            raw_dir, w, ["_static_patches.pkl", "_file_paths.pkl"])
+            for w in wells))
+    run("process",
+        lambda: [process_vae(raw_dir, supp_dir, ws, config)
+                 for ws in wells.values()])
+    run("trajectory_matching",
+        lambda: [trajectory_matching(raw_dir, supp_dir, ws, config)
+                 for ws in wells.values()],
+        skip_if=lambda: all(_well_outputs_exist(
+            raw_dir, w, ["_trajectories.pkl"]) for w in wells))
+    if "pca" in stages:
+        from .dim_reduction import dim_reduction
+
+        dr = config.dim_reduction
+        if dr.input_dirs:
+            with stage_timer("pca"):
+                dim_reduction("pca", dr.input_dirs,
+                              dr.output_dirs or dr.input_dirs,
+                              dr.weights_dir, config)
+            executed.append("pca")
+    return executed

@@ -92,10 +92,12 @@ def fit_pca(train_data: np.ndarray, weights_dir: str, labels,
 
     plt.clf()
     fig, ax = plt.subplots()
-    scatter = ax.scatter(pcas[:, 0], pcas[:, 1], s=7, c=labels,
+    # fewer than 2 retained PCs: plot PC1 vs zeros
+    pc2 = pcas[:, 1] if pcas.shape[1] > 1 else np.zeros(len(pcas))
+    scatter = ax.scatter(pcas[:, 0], pc2, s=7, c=labels,
                          cmap="Paired", alpha=0.1)
     scatter.set_facecolor("none")
-    zoom_axis(pcas[:, 0], pcas[:, 1], ax, zoom_cutoff=1)
+    zoom_axis(pcas[:, 0], pc2, ax, zoom_cutoff=1)
     try:
         ax.legend(handles=scatter.legend_elements()[0], loc="upper right",
                   title="condition", labels=list(conditions))

@@ -1,0 +1,93 @@
+"""End-to-end pipeline chain on a tiny synthetic experiment (CPU mesh):
+instance segmentation -> patches -> trajectories -> assemble -> encode ->
+trajectory matching -> PCA, via the orchestrator."""
+import os
+
+import numpy as np
+import pytest
+
+from dynamorph_tpu.config.schema import (DimReductionConfig,
+                                         LatentEncodingConfig, PatchConfig,
+                                         PipelineConfig)
+from dynamorph_tpu.io.pickles import load_pickle
+from dynamorph_tpu.pipeline.orchestrator import run_pipeline
+
+
+def _make_experiment(tmp_path, rng, n_frames=12, size=256, n_cells=3, r=14):
+    raw = tmp_path / "raw"
+    supp = tmp_path / "supp"
+    raw.mkdir()
+    supp.mkdir()
+    yy, xx = np.mgrid[:size, :size]
+    centers0 = rng.randint(60, size - 60, size=(n_cells, 2))
+    images, segs = [], []
+    for t in range(n_frames):
+        centers = centers0 + rng.randint(-2, 3, size=centers0.shape) * t
+        img = rng.rand(2, 1, size, size) * 1000 + 30000
+        fg = np.zeros((size, size), bool)
+        for cy, cx in centers:
+            m = (yy - cy) ** 2 + (xx - cx) ** 2 < r ** 2
+            fg |= m
+            img[:, 0][:, m] += 10000
+        bg = np.where(fg, 0.05, 0.97)
+        mg = np.where(fg, 0.9, 0.02)
+        segs.append(np.stack([bg, mg, 1 - bg - mg])[:, None])
+        images.append(img)
+    np.save(raw / "C5-Site_0.npy", np.stack(images))
+    np.save(raw / "C5-Site_0_NNProbabilities.npy", np.stack(segs))
+    return str(raw), str(supp)
+
+
+@pytest.fixture
+def tiny_weights(tmp_path):
+    """Random-init orbax checkpoint the process stage can load."""
+    import jax
+
+    from dynamorph_tpu.models import VQVAEz16
+    from dynamorph_tpu.train.checkpoint import save_checkpoint
+
+    model = VQVAEz16(num_embeddings=16, num_hiddens=8, num_residual_hiddens=8)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    path = str(tmp_path / "weights")
+    save_checkpoint(path, {"params": params, "state": state})
+    return path
+
+
+def test_full_chain(tmp_path, rng, tiny_weights):
+    raw, supp = _make_experiment(tmp_path, rng)
+    config = PipelineConfig(
+        patch=PatchConfig(channels=[0, 1], window_size=128, reload=False),
+        latent_encoding=LatentEncodingConfig(
+            channels=[0, 1], network="VQ_VAE_z16", num_hiddens=8,
+            num_residual_hiddens=8, num_embeddings=16,
+            weights=tiny_weights, save_output=False),
+        dim_reduction=DimReductionConfig(
+            input_dirs=[os.path.join(raw, "weights")],
+            output_dirs=[os.path.join(raw, "weights")],
+            weights_dir=str(tmp_path / "pca_w"), fit_model=True,
+            file_name_prefixes=["C5"], conditions=["c"]),
+    )
+    # DimReduction needs fit over '<prefix>_latent_space_after.pkl' — our
+    # orchestrator's pca stage pools those; run everything except
+    # semantic segmentation (probabilities are synthetic).
+    stages = ["instance_segmentation", "extract_patches",
+              "build_trajectories", "assemble", "process",
+              "trajectory_matching", "pca"]
+    executed = run_pipeline(raw, supp, ["C5-Site_0"], config, stages=stages)
+    assert executed == stages
+
+    out_dir = os.path.join(raw, "weights")
+    z_b = load_pickle(os.path.join(out_dir, "C5_latent_space.pkl"))
+    z_a = load_pickle(os.path.join(out_dir, "C5_latent_space_after.pkl"))
+    fs = load_pickle(os.path.join(raw, "C5_file_paths.pkl"))
+    assert len(z_b) == len(z_a) == len(fs) > 0
+    assert np.isfinite(z_b).all()
+    trajs = load_pickle(os.path.join(raw, "C5_trajectories.pkl"))
+    assert len(trajs) >= 1
+    # PCA stage wrote model + transformed latents
+    assert os.path.exists(str(tmp_path / "pca_w" / "pca_model.pkl"))
+
+    # resume: a second run should skip everything idempotent
+    executed2 = run_pipeline(raw, supp, ["C5-Site_0"], config, stages=[
+        "instance_segmentation", "assemble", "trajectory_matching"])
+    assert executed2 == []
