@@ -42,6 +42,9 @@ class SegmentationInferenceConfig:
     batch_size: int = 8
     num_pred_rnd: int = 5
     seg_val_cat: str = "mg"
+    # dynamorph_tpu extension: "tiled" = reference-parity offset ensemble,
+    # "direct" = single whole-frame pass (faster, no tile-edge artifacts)
+    inference_mode: str = "tiled"
 
 
 @dataclasses.dataclass

@@ -50,7 +50,8 @@ def segmentation(raw_folder: str, supp_folder: str, val_folder: str,
                     site_path, model,
                     use_channels=np.array(si.channels).astype(int),
                     batch_size=si.batch_size,
-                    n_supp=si.num_pred_rnd, **kwargs)
+                    n_supp=si.num_pred_rnd,
+                    mode=getattr(si, "inference_mode", "tiled"), **kwargs)
         except Exception as ex:  # per-site failure tolerance (ref :76-86)
             log.error(ex)
             log.error("Error in predicting site %s", site)

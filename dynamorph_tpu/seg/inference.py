@@ -30,10 +30,40 @@ def _predict_tiles(model, tiles: np.ndarray, batch_bucket: int = 8):
     return out[:n]
 
 
+def predict_whole_map_direct(inputs: np.ndarray, model) -> np.ndarray:
+    """Whole-frame segmentation in one device pass per frame.
+
+    The U-Net is fully convolutional, so the 2048x2048 frame can run through
+    it directly instead of as 64 + n_supp*49 overlapping tile forwards — no
+    tile-edge artifacts, no ensemble passes needed, ~6x fewer FLOPs. Frame
+    dims must be multiples of 32 (the encoder's total stride). This is the
+    TPU-native fast path; the tiled ensemble (``predict_whole_map``) is kept
+    for bit-parity with the reference.
+
+    Args: inputs (T, C, Z, X, Y). Returns (T, n_classes, 1, X, Y).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n_frame, n_channel, n_z, x_full, y_full = inputs.shape
+    assert x_full % 32 == 0 and y_full % 32 == 0, \
+        "frame dims must be multiples of 32 for direct mode"
+
+    predict = jax.jit(
+        lambda p, s, x: model.net.predict(p, s, x))
+    outs = []
+    for t in range(n_frame):
+        frame = inputs[t, :, 0][None].astype(np.float32)   # (1, C, X, Y)
+        probs = predict(model.params, model.state, jnp.asarray(frame))
+        outs.append(np.asarray(probs)[0])                  # (n_classes,1,X,Y)
+    return np.stack(outs, 0)
+
+
 def predict_whole_map(file_path, model, use_channels: Sequence[int] = (),
                       out_file_path: Optional[str] = None,
                       batch_size: int = 8, n_supp: int = 5,
-                      time_slices: int = 1, rng=None, **kwargs):
+                      time_slices: int = 1, rng=None, mode: str = "tiled",
+                      **kwargs):
     """Segment a full 5-D stack (reference data.py:350-482).
 
     Args:
@@ -45,6 +75,8 @@ def predict_whole_map(file_path, model, use_channels: Sequence[int] = (),
         n_supp: number of random-offset supplementary passes.
         rng: np.random-like generator for offsets (global np.random if None —
             matching the reference's use of the global RNG, data.py:440-441).
+        mode: "tiled" (reference-parity offset ensemble) or "direct"
+            (single whole-frame pass, see predict_whole_map_direct).
     """
     if rng is None:
         rng = np.random
@@ -52,6 +84,11 @@ def predict_whole_map(file_path, model, use_channels: Sequence[int] = (),
     if len(use_channels) == 0:
         use_channels = list(range(inputs.shape[1]))
     inputs = inputs[:, np.array(use_channels)]
+
+    if mode == "direct":
+        total_outputs = predict_whole_map_direct(inputs, model)
+        return _finish_whole_map(file_path, inputs, total_outputs,
+                                 out_file_path)
 
     x_size, y_size = model.x_size, model.y_size
     n_classes = model.n_classes
@@ -99,7 +136,10 @@ def predict_whole_map(file_path, model, use_channels: Sequence[int] = (),
             concatenated = (concatenated * (i_supp + 1) + supp) / (i_supp + 2)
         total_outputs.append(concatenated)
     total_outputs = np.stack(total_outputs, 0)
+    return _finish_whole_map(file_path, inputs, total_outputs, out_file_path)
 
+
+def _finish_whole_map(file_path, inputs, total_outputs, out_file_path):
     if isinstance(file_path, str):
         import cv2
 

@@ -126,6 +126,24 @@ def test_predict_whole_map_merging(tmp_path, rng):
     np.testing.assert_allclose(out.sum(1), 1.0, atol=1e-4)
 
 
+def test_predict_whole_map_direct_mode(tmp_path, rng):
+    """Whole-frame single-pass mode: correct shape, valid probabilities, and
+    interior agreement with the tile containing it (same conv weights)."""
+    inputs, _ = _scene(rng, size=128, n_frames=1)
+    model = Segment(input_shape=(2, 64, 64), n_classes=3,
+                    model_path=str(tmp_path))
+    out = predict_whole_map(inputs, model, mode="direct")
+    assert out.shape == (1, 3, 1, 128, 128)
+    np.testing.assert_allclose(out.sum(1), 1.0, atol=1e-4)
+    # BN is spatially global, so direct-mode equals a "tile" the size of the
+    # whole frame: run the frame through model.predict directly and compare.
+    whole = model.__class__(input_shape=(2, 128, 128), n_classes=3,
+                            model_path=str(tmp_path / "w"))
+    whole.params, whole.state = model.params, model.state
+    ref = whole.predict(inputs[:, :, :].astype(np.float32))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
 def test_segment_save_load_roundtrip(tmp_path, rng):
     model = Segment(input_shape=(2, 64, 64), n_classes=3,
                     model_path=str(tmp_path / "m"))
