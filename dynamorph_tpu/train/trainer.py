@@ -69,7 +69,7 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
                 shuffle_data: bool = False, transform: bool = False,
                 val_split_ratio: float = 0.15, patience: Optional[int] = 20,
                 mesh: Optional[Mesh] = None, seed: int = 0,
-                params=None, state=None):
+                params=None, state=None, save_every_epoch: bool = False):
     """Train a VQ-VAE family model. Returns (params, state, history).
 
     Args mirror the reference `train` (run_training.py:455-486): Adam(0.9,
@@ -131,6 +131,10 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
         writer.write("Loss", train_losses, epoch)
         writer.write("Val loss", val_losses, epoch)
         history.append({"epoch": epoch, "train": train_losses, "val": val_losses})
+        if save_every_epoch:
+            # legacy per-epoch checkpoints (reference vq_vae_supp.py:385)
+            save_checkpoint(os.path.join(output_dir, f"model_epoch{epoch}"),
+                            {"params": params, "state": state})
         early(val_losses["total_loss"], {"params": params, "state": state})
         if early.early_stop:
             print("Early stopping")
