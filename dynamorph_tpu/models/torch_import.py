@@ -137,6 +137,75 @@ def import_vqvae_z32(sd: dict, num_residual_layers: int = 2):
     return params, state
 
 
+def _z16_encoder(sd: dict, num_residual_layers: int, extra_conv: bool):
+    """Shared z16-style encoder trunk (reference vae.py:273-286 == :523-537).
+    With ``extra_conv``, include the final 1x1 widening conv (VAE, index 13)."""
+    bn1_p, bn1_s = _bn(sd, "enc.2")
+    bn2_p, bn2_s = _bn(sd, "enc.5")
+    bn3_p, bn3_s = _bn(sd, "enc.8")
+    bn4_p, bn4_s = _bn(sd, "enc.11")
+    res_p, res_s = _residual_block(sd, "enc.12", num_residual_layers)
+    params = {
+        "conv0": _conv(sd, "enc.0"),
+        "conv1": _conv(sd, "enc.1"),
+        "bn1": bn1_p,
+        "conv2": _conv(sd, "enc.4"),
+        "bn2": bn2_p,
+        "conv3": _conv(sd, "enc.7"),
+        "bn3": bn3_p,
+        "conv4": _conv(sd, "enc.10"),
+        "bn4": bn4_p,
+        "res": res_p,
+    }
+    if extra_conv:
+        params["conv5"] = _conv(sd, "enc.13")
+    state = {"bn1": bn1_s, "bn2": bn2_s, "bn3": bn3_s, "bn4": bn4_s,
+             "res": res_s}
+    return params, state
+
+
+def _z16_decoder(sd: dict):
+    """Shared z16-style decoder (reference vae.py:288-295 == :539-546)."""
+    return {
+        "deconv0": _deconv(sd, "dec.0"),
+        "deconv1": _deconv(sd, "dec.2"),
+        "deconv2": _deconv(sd, "dec.4"),
+        "conv_out": _conv(sd, "dec.6"),
+    }
+
+
+def import_vae(sd: dict, num_residual_layers: int = 2):
+    """state_dict -> (params, state) for VAEModel/IWAEModel
+    (reference vae.py:523-546)."""
+    enc_p, enc_s = _z16_encoder(sd, num_residual_layers, extra_conv=True)
+    return {"enc": enc_p, "dec": _z16_decoder(sd)}, {"enc": enc_s}
+
+
+def import_aae(sd: dict, num_residual_layers: int = 2):
+    """state_dict -> (params, state) for AAEModel
+    (reference vae.py:745-786; discriminator layout :759-778)."""
+    enc_p, enc_s = _z16_encoder(sd, num_residual_layers, extra_conv=False)
+    dbn1_p, dbn1_s = _bn(sd, "enc_d.2")
+    dbn2_p, dbn2_s = _bn(sd, "enc_d.5")
+    dbn3_p, dbn3_s = _bn(sd, "enc_d.8")
+    enc_d_p = {
+        "conv0": _conv(sd, "enc_d.0"),
+        "conv1": _conv(sd, "enc_d.1"),
+        "bn1": dbn1_p,
+        "conv2": _conv(sd, "enc_d.4"),
+        "bn2": dbn2_p,
+        "conv3": _conv(sd, "enc_d.7"),
+        "bn3": dbn3_p,
+        "fc1": _linear(sd, "enc_d.11"),
+        "fc2": _linear(sd, "enc_d.14"),
+        "fc3": _linear(sd, "enc_d.17"),
+    }
+    enc_d_s = {"bn1": dbn1_s, "bn2": dbn2_s, "bn3": dbn3_s}
+    params = {"enc": enc_p, "dec": _z16_decoder(sd), "enc_d": enc_d_p}
+    state = {"enc": enc_s, "enc_d": enc_d_s}
+    return params, state
+
+
 def load_state_dict_numpy(path: str) -> dict:
     """Load a torch checkpoint into {name: np.ndarray} without keeping torch
     tensors around. Requires torch at call time (host-side only)."""
