@@ -92,7 +92,8 @@ def assemble_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
 
 
 def encode_patches(model, params, state, dataset: np.ndarray,
-                   batch_size: int = 512, mesh=None):
+                   batch_size: int = 512, mesh=None,
+                   normalize: Optional[str] = None):
     """Batched TPU encode: (N, C, H, W) -> (z_before (N, D*), z_after (N, D*)).
 
     Pads the trailing batch to keep one compiled program; dispatch is async so
@@ -100,6 +101,10 @@ def encode_patches(model, params, state, dataset: np.ndarray,
     batches are sharded over the mesh's ``data`` axis (params replicated) —
     the multi-chip scaling path replacing the reference's process-per-GPU
     fan-out (reference run_VAE.py:73-85).
+
+    normalize="patch" fuses per-patch per-channel z-scoring
+    (train_utils.py:252-274 semantics) into the jitted program, removing the
+    host normalisation pass over the dataset.
     """
     import jax
     import jax.numpy as jnp
@@ -124,7 +129,14 @@ def encode_patches(model, params, state, dataset: np.ndarray,
         def put(batch):
             return jnp.asarray(batch)
 
-    encode = jax.jit(lambda p, s, x: model.encode(p, s, x)[:2])
+    def _encode(p, s, x):
+        if normalize == "patch":
+            mean = jnp.mean(x, axis=(2, 3), keepdims=True)
+            std = jnp.std(x, axis=(2, 3), keepdims=True)
+            x = (x - mean) / (std + np.finfo(float).eps)
+        return model.encode(p, s, x)[:2]
+
+    encode = jax.jit(_encode)
     n = len(dataset)
     outs = []
     for i in range(0, n, batch_size):

@@ -138,6 +138,30 @@ def test_process_vae_latents_match_torch(tmp_path, rng, config):
     np.testing.assert_allclose(z_a, z_a_ref, atol=1e-4)
 
 
+def test_on_device_normalization_matches_host(rng):
+    """encode_patches(normalize='patch') == host zscore_patch + encode,
+    within the 1e-5 latent-parity tolerance."""
+    import jax
+
+    from dynamorph_tpu.models import VQVAEz16
+    from dynamorph_tpu.pipeline.patch_vae import encode_patches
+    from dynamorph_tpu.train.data import zscore_patch
+
+    model = VQVAEz16(num_embeddings=16, num_hiddens=8,
+                     num_residual_hiddens=8, vq_impl="xla")
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    raw = (rng.rand(10, 2, 64, 64) * 65535).astype(np.float64)
+
+    host_norm = zscore_patch(raw).astype(np.float32)
+    z_b_host, z_a_host = encode_patches(model, params, state, host_norm,
+                                        batch_size=4)
+    z_b_dev, z_a_dev = encode_patches(model, params, state,
+                                      raw.astype(np.float32), batch_size=4,
+                                      normalize="patch")
+    mse = np.mean((z_b_host - z_b_dev) ** 2)
+    assert mse < 1e-5, mse
+
+
 def test_trajectory_matching(tmp_path, rng, config):
     raw, supp = _make_well(tmp_path, rng)
     assemble_vae(raw, supp, SITES, config)
