@@ -180,20 +180,27 @@ def build_site_trajectories(cell_positions: Dict, cell_pixel_assignments: Dict,
     """Full per-site tracking from instance-segmentation outputs
     (reference process_site_build_trajectory, generate_trajectories.py:
     372-438). Returns (trajectories, trajectory_positions)."""
-    t_points = sorted(cell_positions.keys())
-    assert np.allclose(np.array(t_points)[1:] - 1, np.array(t_points)[:-1]), \
-        "timepoints must be consecutive"
-
-    cell_positions_dict = {k: dict(cell_positions[k]) for k in cell_positions}
-    cell_size_dict = {}
-    for t_point in t_points:
-        _, positions_labels = cell_pixel_assignments[t_point]
-        all_cells = cell_positions[t_point]
-        counts = dict(zip(*np.unique(positions_labels, return_counts=True)))
-        cell_size_dict[t_point] = {cid: counts[cid] for cid, _ in all_cells}
-
     cell_matchings = {}
     try:
+        # the reference asserts outside its try and crashes on gappy inputs
+        # (generate_trajectories.py:396); here bad inputs degrade to empty
+        # trajectories with a warning like other tracking failures
+        t_points = sorted(cell_positions.keys())
+        assert np.allclose(np.array(t_points)[1:] - 1,
+                           np.array(t_points)[:-1]), \
+            "timepoints must be consecutive"
+
+        cell_positions_dict = {k: dict(cell_positions[k])
+                               for k in cell_positions}
+        cell_size_dict = {}
+        for t_point in t_points:
+            _, positions_labels = cell_pixel_assignments[t_point]
+            all_cells = cell_positions[t_point]
+            counts = dict(zip(*np.unique(positions_labels,
+                                         return_counts=True)))
+            cell_size_dict[t_point] = {cid: counts[cid]
+                                       for cid, _ in all_cells}
+
         for t_point in t_points[:-1]:
             ids1 = sorted(cell_positions_dict[t_point].keys())
             ids2 = sorted(cell_positions_dict[t_point + 1].keys())
