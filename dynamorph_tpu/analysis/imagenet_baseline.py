@@ -12,7 +12,7 @@ dependency-free and always available.
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
@@ -43,7 +43,6 @@ def initiate_model():
     try:
         from tensorflow.keras.applications.resnet50 import (
             ResNet50, preprocess_input)
-        from tensorflow.keras.models import Model
 
         model = ResNet50(weights="imagenet", include_top=False,
                          pooling="avg", input_shape=(224, 224, 3))

@@ -9,7 +9,7 @@ experiment paths.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import List
 
 import numpy as np
 

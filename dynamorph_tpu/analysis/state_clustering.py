@@ -9,7 +9,7 @@ equivalents of the reference's hard-coded scripts.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 

@@ -7,7 +7,7 @@ reference version is deprecated/hard-coded; this is the cleaned equivalent.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

@@ -14,7 +14,7 @@ import os
 from typing import List, Optional, Sequence
 
 from ..config import load_config
-from ..io.sites import get_im_sites, group_sites_by_well
+from ..io.sites import get_im_sites
 
 logging.basicConfig(
     level=logging.INFO,

@@ -12,7 +12,7 @@ so they only influence host-side thread counts where relevant.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Optional, Sequence, Union
+from typing import Any, List, Optional, Union
 
 
 @dataclasses.dataclass

@@ -2,7 +2,7 @@
 SingleCellPatch/extract_patches.py:314-334)."""
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -12,8 +12,6 @@ Functional JAX, NHWC; basic blocks shared with models/unet.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

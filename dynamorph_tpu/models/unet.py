@@ -15,7 +15,7 @@ torchvision-format resnet34 weights can be imported via
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ dropout) instead of global RNG state.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

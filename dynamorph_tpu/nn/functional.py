@@ -20,8 +20,6 @@ kernels stored HWOI-as-forward (see below); linear weights (in, out).
 from __future__ import annotations
 
 import math
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

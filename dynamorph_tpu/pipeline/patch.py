@@ -15,14 +15,14 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
 from ..io.pickles import load_pickle, save_pickle
 from ..io.sites import site_supp_folder
 from ..ops.patch import extract_cell_patches, labels_to_map, median_background
-from ..track.clustering import check_segmentation_dim, within_range
+from ..track.clustering import check_segmentation_dim
 from ..track.matching import build_site_trajectories
 
 log = logging.getLogger(__name__)
@@ -122,11 +122,45 @@ def process_site_extract_patches(site_path: str, site_segmentation_path: str,
                      tm2[i][None, None]], 0).astype("float64")
                 site_data[cell_name] = {"mat": m, "masked_mat": mm}
                 if save_fig:
-                    from ..io.images import im_adjust  # noqa: F401
+                    im_path = os.path.join(
+                        site_supp_files_folder,
+                        "patch_t%d_id%d.jpg" % (t_point, cid))
+                    save_single_cell_im(m[:, 0], mm[:, 0], tm[i], tm2[i],
+                                        im_path)
         save_pickle(site_data, stack_path)
         cell_positions[t_point] = kept_cells
     save_pickle(cell_positions,
                 os.path.join(site_supp_files_folder, "cell_positions.pkl"))
+
+
+def save_single_cell_im(output_mat, masked_output_mat, tm, tm2,
+                        im_path: str) -> None:
+    """4-panel patch figure: unmasked, masked, target mask, enlarged mask
+    (reference extract_patches.py:282-311)."""
+    import matplotlib
+
+    matplotlib.use("AGG")
+    import matplotlib.pyplot as plt
+
+    from ..io.images import im_adjust
+
+    im_phase = np.array(output_mat[0], copy=True)
+    im_phase_masked = np.array(masked_output_mat[0], copy=True)
+    for im in (im_phase, im_phase_masked):
+        nz = im[im != 0]
+        if len(nz):
+            im[im == 0] = np.nanmin(nz)
+    ims = [im_adjust(im_phase), im_adjust(im_phase_masked), tm, tm2]
+    names = ["output_mat", "masked_output_mat", "tm", "tm2"]
+    fig, ax = plt.subplots(2, 2, squeeze=False)
+    ax = ax.flatten()
+    fig.set_size_inches((15, 10))
+    for a, im, name in zip(ax, ims, names):
+        a.imshow(np.squeeze(im), cmap="gray")
+        a.axis("off")
+        a.set_title(name, fontsize=12)
+    fig.savefig(im_path, dpi=300, bbox_inches="tight")
+    plt.close(fig)
 
 
 def get_cell_rect_angle(tm: np.ndarray) -> float:
@@ -237,6 +271,12 @@ def process_site_extract_patches_align_axis(
                     "masked_mat": np.concatenate([masked_c, tm_c, tm2_c],
                                                  0).astype("float64"),
                 }
+                if save_fig:
+                    im_path = os.path.join(
+                        site_supp_files_folder,
+                        "patch_rotated_t%d_id%d.jpg" % (t_point, cid))
+                    save_single_cell_im(mat_c[:, 0], masked_c[:, 0],
+                                        tm_c[0, 0], tm2_c[0, 0], im_path)
         save_pickle(site_data,
                     os.path.join(site_supp_files_folder,
                                  "stacks_rotated_%d.pkl" % t_point))

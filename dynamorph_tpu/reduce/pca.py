@@ -14,8 +14,7 @@ and ``process_pca`` also accepts checkpoints produced by sklearn.
 from __future__ import annotations
 
 import os
-import pickle
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -7,7 +7,7 @@ seeded runs match).
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 

@@ -13,7 +13,7 @@ component-labelling stays on host for strict parity with sklearn's DBSCAN.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

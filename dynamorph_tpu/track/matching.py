@@ -13,7 +13,7 @@ native/ when cost matrices grow).
 from __future__ import annotations
 
 import warnings
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List
 
 import numpy as np
 from scipy.optimize import linear_sum_assignment

@@ -7,7 +7,6 @@ import os
 from typing import Any, Optional
 
 import jax
-import numpy as np
 
 
 def save_checkpoint(path: str, tree: Any):

@@ -12,8 +12,7 @@ On-device augmentation (random flip + rot90, reference run_training.py:
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

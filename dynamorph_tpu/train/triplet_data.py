@@ -9,7 +9,7 @@ the reference's collate + cat (run_training.py:596-598).
 """
 from __future__ import annotations
 
-from typing import Callable, Iterator, Optional, Tuple
+from typing import Callable, Iterator, Tuple
 
 import numpy as np
 
