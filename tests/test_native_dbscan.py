@@ -1,0 +1,61 @@
+"""Native grid-DBSCAN: exact label parity vs sklearn, and speed."""
+import time
+
+import numpy as np
+import pytest
+
+from dynamorph_tpu.native.dbscan import grid_dbscan, native_dbscan_available
+
+pytestmark = pytest.mark.skipif(
+    not native_dbscan_available(), reason="g++ toolchain unavailable")
+
+
+def _fg_positions(rng, size=512, n_cells=5, r=16, noise=200):
+    yy, xx = np.mgrid[:size, :size]
+    fg = np.zeros((size, size), bool)
+    for cy, cx in rng.randint(40, size - 40, size=(n_cells, 2)):
+        fg |= (yy - cy) ** 2 + (xx - cx) ** 2 < r ** 2
+    # scattered noise pixels
+    ys = rng.randint(0, size, noise)
+    xs = rng.randint(0, size, noise)
+    fg[ys, xs] = True
+    return np.array(list(zip(*np.where(fg))))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_grid_dbscan_matches_sklearn_exactly(seed):
+    from sklearn.cluster import DBSCAN
+
+    rng = np.random.RandomState(seed)
+    positions = _fg_positions(rng)
+    ours = grid_dbscan(positions, eps=10, min_samples=250)
+    ref = DBSCAN(eps=10, min_samples=250).fit(positions).labels_
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_grid_dbscan_small_eps_exact(rng):
+    from sklearn.cluster import DBSCAN
+
+    positions = _fg_positions(rng, size=256, n_cells=8, r=8, noise=500)
+    for eps, ms in [(2, 5), (5, 30), (10, 100)]:
+        ours = grid_dbscan(positions, eps=eps, min_samples=ms)
+        ref = DBSCAN(eps=eps, min_samples=ms).fit(positions).labels_
+        np.testing.assert_array_equal(ours, ref, err_msg=f"eps={eps}")
+
+
+def test_grid_dbscan_speed(rng):
+    from sklearn.cluster import DBSCAN
+
+    positions = _fg_positions(rng, size=2048, n_cells=40, r=30, noise=2000)
+    assert len(positions) > 100_000
+
+    t0 = time.perf_counter()
+    ours = grid_dbscan(positions, eps=10, min_samples=250)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ref = DBSCAN(eps=10, min_samples=250).fit(positions).labels_
+    t_sklearn = time.perf_counter() - t0
+    np.testing.assert_array_equal(ours, ref)
+    print(f"native {t_native:.2f}s vs sklearn {t_sklearn:.2f}s "
+          f"({t_sklearn / t_native:.1f}x) on {len(positions)} px")
+    assert t_native < t_sklearn  # must actually be faster at frame scale
