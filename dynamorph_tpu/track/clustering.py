@@ -79,10 +79,13 @@ def instance_clustering(cell_segmentation: np.ndarray,
             continue  # too small / too big
         points = positions[positions_labels == cell_id]
         mean_pos = np.mean(points, 0).astype(int)
-        window = [(mean_pos[0] - 128, mean_pos[0] + 128),
-                  (mean_pos[1] - 128, mean_pos[1] + 128)]
-        outliers = [p for p in points if not within_range(window, p)]
-        if len(outliers) > len(points) * 0.05:
+        # vectorized within_range over the cluster (same semantics as the
+        # reference's per-pixel loop, instance_clustering.py:113)
+        lo = mean_pos - 128
+        hi = mean_pos + 128
+        n_outliers = int(np.sum(np.any((points < lo) | (points >= hi),
+                                       axis=1)))
+        if n_outliers > len(points) * 0.05:
             continue
         cell_positions.append((cell_id, mean_pos))
 
