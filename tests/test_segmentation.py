@@ -104,9 +104,9 @@ def test_generate_patches_matches_reference_rng(rng, tmp_path):
 
 
 def test_segment_fit_reduces_loss(tmp_path, rng):
-    inputs, labels = _scene(rng, size=128)
-    patches = generate_ordered_patches(inputs, labels, x_size=64, y_size=64)
-    model = Segment(input_shape=(2, 64, 64), n_classes=3,
+    inputs, labels = _scene(rng, size=64)
+    patches = generate_ordered_patches(inputs, labels, x_size=32, y_size=32)
+    model = Segment(input_shape=(2, 32, 32), n_classes=3,
                     model_path=str(tmp_path))
     history = model.fit(patches, batch_size=4, n_epochs=3,
                         valid_patches=patches[:4])
@@ -129,15 +129,15 @@ def test_predict_whole_map_merging(tmp_path, rng):
 def test_predict_whole_map_direct_mode(tmp_path, rng):
     """Whole-frame single-pass mode: correct shape, valid probabilities, and
     interior agreement with the tile containing it (same conv weights)."""
-    inputs, _ = _scene(rng, size=128, n_frames=1)
-    model = Segment(input_shape=(2, 64, 64), n_classes=3,
+    inputs, _ = _scene(rng, size=64, n_frames=1)
+    model = Segment(input_shape=(2, 32, 32), n_classes=3,
                     model_path=str(tmp_path))
     out = predict_whole_map(inputs, model, mode="direct")
-    assert out.shape == (1, 3, 1, 128, 128)
+    assert out.shape == (1, 3, 1, 64, 64)
     np.testing.assert_allclose(out.sum(1), 1.0, atol=1e-4)
     # BN is spatially global, so direct-mode equals a "tile" the size of the
     # whole frame: run the frame through model.predict directly and compare.
-    whole = model.__class__(input_shape=(2, 128, 128), n_classes=3,
+    whole = model.__class__(input_shape=(2, 64, 64), n_classes=3,
                             model_path=str(tmp_path / "w"))
     whole.params, whole.state = model.params, model.state
     ref = whole.predict(inputs[:, :, :].astype(np.float32))
@@ -145,12 +145,12 @@ def test_predict_whole_map_direct_mode(tmp_path, rng):
 
 
 def test_segment_save_load_roundtrip(tmp_path, rng):
-    model = Segment(input_shape=(2, 64, 64), n_classes=3,
+    model = Segment(input_shape=(2, 32, 32), n_classes=3,
                     model_path=str(tmp_path / "m"))
-    x = rng.rand(1, 2, 1, 64, 64).astype(np.float32)
+    x = rng.rand(1, 2, 1, 32, 32).astype(np.float32)
     before = model.predict(x)
     model.save(str(tmp_path / "ck"))
-    model2 = Segment(input_shape=(2, 64, 64), n_classes=3,
+    model2 = Segment(input_shape=(2, 32, 32), n_classes=3,
                      model_path=str(tmp_path / "m2"), seed=123)
     model2.load(str(tmp_path / "ck"))
     after = model2.predict(x)
