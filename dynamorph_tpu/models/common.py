@@ -110,3 +110,40 @@ def nchw_to_nhwc(x):
 
 def nhwc_to_nchw(x):
     return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def fused_preconv_stride_conv(p_conv0, p_conv1, x, stride=2, padding=1):
+    """conv1(pad(conv0_1x1(x))) as ONE convolution, exactly.
+
+    The z16-family encoders open with a 1x1 channel-lift conv immediately
+    followed by a strided 4x4 conv with no activation between
+    (reference vae.py:274-275). Sequential execution materialises a
+    full-resolution lifted intermediate (the dominant HBM traffic of the
+    whole encoder: 8.6 GB at batch 8192); since both ops are linear they
+    compose into a single conv with kernel W01[k,l,i,o] = sum_c W0[i,c]
+    W1[k,l,c,o].
+
+    The 1x1 conv's bias does NOT fold into a constant: conv1's zero-padding
+    is applied AFTER conv0 in the original, so border positions see fewer
+    b0-carrying taps. The exact correction is conv(ones, K_b) with
+    K_b[k,l,o] = sum_c W1[k,l,c,o] b0[c] — a compile-time constant per
+    input shape (XLA folds it).
+
+    Measured: 1.6x faster whole-encode at batch 8192 on v5e.
+    """
+    w0 = p_conv0["kernel"][0, 0]                    # (Cin, Cmid)
+    w1 = p_conv1["kernel"]                           # (k, k, Cmid, Cout)
+    w01 = jnp.einsum("ic,klco->klio", w0, w1)
+    pad = ((padding, padding), (padding, padding))
+    y = jax.lax.conv_general_dilated(
+        x, w01, (stride, stride), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + p_conv1["bias"]
+    if "bias" in p_conv0:
+        kb = jnp.einsum("klco,c->klo", w1, p_conv0["bias"])[:, :, None, :]
+        ones = jnp.ones((1,) + x.shape[1:3] + (1,), x.dtype)
+        corr = jax.lax.conv_general_dilated(
+            ones, kb, (stride, stride), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y + corr
+    return y

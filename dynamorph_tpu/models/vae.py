@@ -48,8 +48,8 @@ def _init_z16_encoder(ks, ni, nh, nrh, nrl, extra_out: int = 0):
 
 def _apply_z16_encoder(p, s, x, train: bool):
     ns = {}
-    h = F.conv2d(p["conv0"], x, 1, 0)
-    h = F.conv2d(p["conv1"], h, 2, 1)
+    # conv0 (1x1) + conv1 (4x4 s2) fused into one conv (see common.py)
+    h = common.fused_preconv_stride_conv(p["conv0"], p["conv1"], x)
     h, ns["bn1"] = F.batch_norm(p["bn1"], s["bn1"], h, train)
     h = F.relu(h)
     h = F.conv2d(p["conv2"], h, 2, 1)
@@ -168,7 +168,9 @@ class IWAEModel(VAEModel):
     k: int = 5
 
     def apply(self, params, state, inputs, key, train: bool = False,
-              time_matching_mat=None, batch_mask=None):
+              time_matching_mat=None, batch_mask=None, fixed_eps=None):
+        """``fixed_eps``: optional (k, B, H, W, C) NHWC noise overriding the
+        random draws (deterministic evaluation / parity testing)."""
         x = nchw_to_nhwc(inputs)
         mask = nchw_to_nhwc(batch_mask) if batch_mask is not None else jnp.ones_like(x)
         z, enc_ns = _apply_z16_encoder(params["enc"], state["enc"], x, train)
@@ -184,8 +186,7 @@ class IWAEModel(VAEModel):
 
         cv = self._channel_var()
 
-        def one_sample(k_i):
-            eps = jax.random.normal(k_i, z_std.shape, z_std.dtype)
+        def one_sample(eps):
             zs = z_mean + z_std * eps
             decoded = _apply_z16_decoder(params["dec"], zs)
             log_p_x_z = -jnp.sum(
@@ -194,8 +195,13 @@ class IWAEModel(VAEModel):
             log_q_z_x = -jnp.sum(0.5 * eps ** 2 + z_logstd, axis=(1, 2, 3))
             return log_p_x_z + log_p_z - log_q_z_x, -log_p_x_z
 
-        keys = jax.random.split(key, self.k)
-        log_ws, recon_losses = jax.vmap(one_sample)(keys)   # (k, B)
+        if fixed_eps is None:
+            keys = jax.random.split(key, self.k)
+            epss = jax.vmap(lambda k_i: jax.random.normal(
+                k_i, z_std.shape, z_std.dtype))(keys)
+        else:
+            epss = jnp.asarray(fixed_eps)
+        log_ws, recon_losses = jax.vmap(one_sample)(epss)   # (k, B)
         log_ws = log_ws.T                                    # (B, k)
         recon_losses = recon_losses.T
         log_ws_shift = log_ws - jnp.max(log_ws, axis=1, keepdims=True)

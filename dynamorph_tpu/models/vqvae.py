@@ -152,8 +152,9 @@ class VQVAEz16(VQVAEBase):
     def _encode_nhwc(self, params, state, x, train: bool):
         p, s = params["enc"], state["enc"]
         ns = {}
-        h = F.conv2d(p["conv0"], x, 1, 0)
-        h = F.conv2d(p["conv1"], h, 2, 1)
+        # conv0 (1x1) + conv1 (4x4 s2) fused into one conv — exact, avoids
+        # the full-resolution lifted intermediate (common.py helper)
+        h = common.fused_preconv_stride_conv(p["conv0"], p["conv1"], x)
         h, ns["bn1"] = F.batch_norm(p["bn1"], s["bn1"], h, train)
         h = F.relu(h)
         h = F.conv2d(p["conv2"], h, 2, 1)

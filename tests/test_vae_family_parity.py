@@ -46,6 +46,41 @@ def test_vae_predict_parity(rng):
                                float(losses_ref["recon_loss"]), rtol=1e-4)
 
 
+def test_iwae_forward_parity_with_fixed_noise(rng):
+    """Same eps draws injected into both implementations -> equal losses."""
+    from dynamorph_tpu.models.vae import IWAEModel
+
+    torch.manual_seed(31)
+    tmodel = ref_vae.IWAE(k=3, num_inputs=2, num_hiddens=16,
+                          num_residual_hiddens=32, num_residual_layers=2)
+    tmodel.eval()
+    model = IWAEModel(k=3)
+    params, state = import_vae(_sd(tmodel))
+
+    x = rng.rand(2, 2, 128, 128).astype(np.float32)
+    # fixed noise, NCHW for torch / NHWC for ours
+    eps_nchw = rng.randn(3, 2, 16, 16, 16).astype(np.float32)
+    eps_nhwc = np.transpose(eps_nchw, (0, 1, 3, 4, 2))
+
+    class FixedRP(torch.nn.Module):
+        def forward(self, z_mean, z_logstd):
+            z_std = torch.exp(0.5 * z_logstd)
+            epss = [torch.from_numpy(e) for e in eps_nchw]
+            zs = [z_mean + z_std * e for e in epss]
+            return zs, epss
+
+    tmodel.rp = FixedRP()
+    with torch.no_grad():
+        _, losses_ref = tmodel(torch.from_numpy(x))
+
+    _, losses, _ = model.apply(params, state, jnp.asarray(x),
+                               jax.random.PRNGKey(0), train=False,
+                               fixed_eps=jnp.asarray(eps_nhwc))
+    for key in ("recon_loss", "total_loss"):
+        np.testing.assert_allclose(float(losses[key]),
+                                   float(losses_ref[key]), rtol=1e-3)
+
+
 def test_aae_forward_parity(rng):
     torch.manual_seed(22)
     tmodel = ref_vae.AAE(num_inputs=2, num_hiddens=16,
