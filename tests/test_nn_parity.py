@@ -62,6 +62,32 @@ def test_conv_transpose2d_matches_torch(rng, k, s, p, cin, cout):
     np.testing.assert_allclose(_to_nchw(out), ref, atol=2e-6, rtol=1e-5)
 
 
+def test_fused_preconv_stride_conv_exact(rng):
+    """Fused conv0(1x1)+conv1(4x4 s2) == sequential, including the border
+    bias correction (conv1 zero-pads AFTER conv0)."""
+    import jax
+
+    from dynamorph_tpu.models.common import fused_preconv_stride_conv
+    from dynamorph_tpu.nn import functional as Fn
+
+    k0, k1 = jax.random.split(jax.random.PRNGKey(7))
+    p0 = Fn.init_conv(k0, 1, 1, 2, 8)
+    p1 = Fn.init_conv(k1, 4, 4, 8, 8)
+    # large bias to make any border-correction error obvious
+    p0 = {"kernel": p0["kernel"], "bias": p0["bias"] + 10.0}
+    x = jnp.asarray(rng.rand(2, 32, 32, 2).astype(np.float32))
+    seq = Fn.conv2d(p1, Fn.conv2d(p0, x, 1, 0), 2, 1)
+    fused = fused_preconv_stride_conv(p0, p1, x)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(seq),
+                               atol=1e-4, rtol=1e-5)
+    # and the bias-free case
+    p0nb = {"kernel": p0["kernel"]}
+    seq = Fn.conv2d(p1, Fn.conv2d(p0nb, x, 1, 0), 2, 1)
+    fused = fused_preconv_stride_conv(p0nb, p1, x)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(seq),
+                               atol=1e-5, rtol=1e-5)
+
+
 @pytest.mark.parametrize("train", [False, True])
 def test_batch_norm_matches_torch(rng, train):
     c = 16
