@@ -23,13 +23,24 @@ def run_for_dirs(method: str, raw_dir: str, supp_dir: str, config) -> None:
             "VQ-VAE weights path must be specified when method = process")
 
     sites = resolve_sites(raw_dir, le.fov)
-    for well, well_sites in group_sites_by_well(sites).items():
-        if method == "assemble":
+    wells = group_sites_by_well(sites)
+    if method == "assemble":
+        for well_sites in wells.values():
             assemble_vae(raw_dir, supp_dir, well_sites, config,
                          patch_type="mat")
-        elif method == "process":
-            process_vae(raw_dir, supp_dir, well_sites, config)
-        elif method == "trajectory_matching":
+    elif method == "process":
+        # prefetch the next well's pickles while this one encodes
+        from ..io.prefetch import Prefetcher
+        from ..pipeline.patch_vae import load_well_inputs
+
+        prefetched = Prefetcher(
+            wells.items(),
+            lambda kv: load_well_inputs(raw_dir, kv[0]))
+        for (well, well_sites), preloaded in prefetched:
+            process_vae(raw_dir, supp_dir, well_sites, config,
+                        preloaded=preloaded)
+    elif method == "trajectory_matching":
+        for well_sites in wells.values():
             trajectory_matching(raw_dir, supp_dir, well_sites, config)
 
 

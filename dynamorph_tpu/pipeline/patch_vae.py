@@ -185,14 +185,27 @@ def _load_model_weights(model, weights_path: str):
     raise ValueError(f"No torch importer for {name}")
 
 
+def load_well_inputs(raw_folder: str, well: str):
+    """Host-side inputs for one well's encode (prefetchable)."""
+    fs = load_pickle(os.path.join(raw_folder, f"{well}_file_paths.pkl"))
+    dataset = load_pickle(
+        os.path.join(raw_folder, f"{well}_static_patches.pkl"))
+    return fs, dataset
+
+
 def process_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
-                config, batch_size: int = 512) -> Dict[str, str]:
+                config, batch_size: int = 512,
+                preloaded=None) -> Dict[str, str]:
     """Encode a well's static patches to latent vectors
     (reference pipeline/patch_VAE.py:343-508), batched on TPU.
 
     Saves ``<well>_latent_space.pkl`` (pre-VQ) and
     ``<well>_latent_space_after.pkl`` (post-VQ) under
     ``<raw_folder>/<model_name>/``; optionally 20 recon JPEGs.
+
+    ``preloaded``: optional (fs, dataset) from ``load_well_inputs`` — lets a
+    caller prefetch the next well's pickles while this one encodes
+    (io/prefetch.Prefetcher).
     """
     le = config.latent_encoding
     weights_dir = le.weights
@@ -202,8 +215,8 @@ def process_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
         "Sites should be from a single well/condition"
     well = well_of(sites[0])
 
-    fs = load_pickle(os.path.join(raw_folder, f"{well}_file_paths.pkl"))
-    dataset = load_pickle(os.path.join(raw_folder, f"{well}_static_patches.pkl"))
+    fs, dataset = preloaded if preloaded is not None \
+        else load_well_inputs(raw_folder, well)
     dataset = zscore_patch(np.squeeze(dataset)).astype(np.float32)
     assert dataset.ndim == 4, f"dataset must be 4-D, got {dataset.ndim}"
     assert len(fs) == len(dataset)
