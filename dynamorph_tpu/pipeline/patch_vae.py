@@ -11,6 +11,7 @@ pickle formats are unchanged.
 """
 from __future__ import annotations
 
+import functools
 import logging
 import os
 from typing import Dict, Optional, Sequence, Tuple
@@ -129,14 +130,7 @@ def encode_patches(model, params, state, dataset: np.ndarray,
         def put(batch):
             return jnp.asarray(batch)
 
-    def _encode(p, s, x):
-        if normalize == "patch":
-            mean = jnp.mean(x, axis=(2, 3), keepdims=True)
-            std = jnp.std(x, axis=(2, 3), keepdims=True)
-            x = (x - mean) / (std + np.finfo(float).eps)
-        return model.encode(p, s, x)[:2]
-
-    encode = jax.jit(_encode)
+    encode = _encode_fn(model, normalize)
     n = len(dataset)
     outs = []
     for i in range(0, n, batch_size):
@@ -183,6 +177,24 @@ def _load_model_weights(model, weights_path: str):
     if name == "VQVAEz32":
         return import_vqvae_z32(sd, model.num_residual_layers)
     raise ValueError(f"No torch importer for {name}")
+
+
+@functools.lru_cache(maxsize=16)
+def _encode_fn(model, normalize):
+    """Jitted encode, cached per (model, normalize): models are frozen
+    dataclasses (hashable), so repeated wells reuse one compiled program
+    instead of retracing a fresh lambda each call."""
+    import jax
+    import jax.numpy as jnp
+
+    def _encode(p, s, x):
+        if normalize == "patch":
+            mean = jnp.mean(x, axis=(2, 3), keepdims=True)
+            std = jnp.std(x, axis=(2, 3), keepdims=True)
+            x = (x - mean) / (std + np.finfo(float).eps)
+        return model.encode(p, s, x)[:2]
+
+    return jax.jit(_encode)
 
 
 def load_well_inputs(raw_folder: str, well: str):

@@ -45,6 +45,10 @@ class Segment:
         self.params, self.state = jax.jit(self._init_net)(
             jax.random.PRNGKey(seed))
         self._predict_fn = jax.jit(self._predict_impl)
+        # jitted once here: a fresh jax.jit(lambda ...) per call would
+        # retrace/recompile every invocation (jit caches on fn identity)
+        self._logits_fn = jax.jit(
+            lambda p, s, x: self._apply_logits(p, s, x, False))
         self._lr = 1e-3  # keras Adam default
 
     # -- overridable network definition --------------------------------
@@ -155,9 +159,8 @@ class Segment:
         vX, vy = valid
         logits = []
         for i in range(0, len(vX), 8):
-            lg, _ = jax.jit(
-                lambda p, s, x: self._apply_logits(p, s, x, False))(
-                self.params, self.state, jnp.asarray(vX[i: i + 8]))
+            lg, _ = self._logits_fn(self.params, self.state,
+                                    jnp.asarray(vX[i: i + 8]))
             logits.append(np.asarray(lg))
         logits = np.concatenate(logits)
         val_loss = float(weighted_ce_loss(jnp.asarray(logits),
