@@ -199,7 +199,7 @@ class EncodeProject:
     def encode_batched(self, params, state, dataset: np.ndarray,
                        out: str = "z", batch_size: int = 512) -> np.ndarray:
         """Host loop over jitted batched encode (inference path)."""
-        encode = jax.jit(lambda p, s, x: self.encode_fn(p, s, x, out)[0])
+        encode = _encode_project_fn(self, out)
         outs = []
         n = len(dataset)
         for i in range(0, n, batch_size):
@@ -211,6 +211,16 @@ class EncodeProject:
             outs.append(np.asarray(encode(params, state,
                                           jnp.asarray(batch, jnp.float32))))
         return np.concatenate(outs)[:n]
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _encode_project_fn(model: "EncodeProject", out: str):
+    """Jitted encode cached per (model, out) — avoids retracing a fresh
+    lambda on every encode_batched call."""
+    return jax.jit(lambda p, s, x: model.encode_fn(p, s, x, out)[0])
 
 
 @dataclasses.dataclass(frozen=True)

@@ -66,7 +66,9 @@ def predict_whole_map_direct(inputs: np.ndarray, model,
         def put(batch):  # noqa: F811
             return jax.device_put(jnp.asarray(batch), sh)
 
-    predict = jax.jit(lambda p, s, x: model.net.predict(p, s, x))
+    # model._predict_fn is jitted once at construction; jit handles the new
+    # whole-frame input shape as a separate cache entry
+    predict = model._predict_fn
     outs = []
     for t0 in range(0, n_frame, frame_batch):
         batch = inputs[t0: t0 + frame_batch, :, 0].astype(np.float32)
