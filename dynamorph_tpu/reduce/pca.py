@@ -66,6 +66,58 @@ def fit_pca_device(train_data: np.ndarray,
     )
 
 
+def fit_pca_distributed(train_data: np.ndarray,
+                        variance_fraction: float = 0.5,
+                        mesh=None) -> PCAModel:
+    """PCA via the covariance eigendecomposition with the Gram accumulation
+    sharded over the device mesh.
+
+    This is the distributed form of SURVEY §2.2's "PCA fit over pooled
+    latents -> psum/distributed matmul": rows shard over the mesh's ``data``
+    axis, XLA turns sum_i x_i x_i^T into per-shard matmuls + an all-reduce,
+    and only the (D, D) covariance is materialised globally. Mathematically
+    identical to the SVD path (components up to sign; verified in tests);
+    preferable when N >> D or N is too large to gather.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..core.mesh import make_mesh, shard_batch
+
+    n, d = train_data.shape
+    if mesh is None:
+        mesh = make_mesh()
+    X, n_pad = shard_batch(train_data.astype(np.float32), mesh)
+    # padding rows are edge-replicated by shard_batch; mask them out of the
+    # statistics with a weight vector
+    w = np.ones((X.shape[0],), np.float32)
+    if n_pad:
+        w[-n_pad:] = 0.0
+    w = jax.device_put(w, NamedSharding(mesh, P("data")))
+
+    @jax.jit
+    def stats(X, w):
+        total = jnp.sum(w)
+        mean = jnp.sum(X * w[:, None], axis=0) / total
+        Xc = (X - mean) * w[:, None]
+        cov = jnp.dot(Xc.T, Xc, preferred_element_type=jnp.float32) / (total - 1)
+        return mean, cov
+
+    mean, cov = stats(X, w)
+    evals, evecs = jnp.linalg.eigh(cov)          # ascending
+    evals = np.asarray(evals)[::-1]
+    evecs = np.asarray(evecs)[:, ::-1].T          # (D, D) rows = components
+    evals = np.maximum(evals, 0.0)
+    ratio = evals / max(evals.sum(), 1e-30)
+    csum = np.cumsum(ratio)
+    k = int(np.searchsorted(csum, variance_fraction, side="right") + 1)
+    k = min(k, d)
+    return PCAModel(components=evecs[:k], mean=np.asarray(mean),
+                    explained_variance=evals[:k],
+                    explained_variance_ratio=ratio[:k])
+
+
 def zoom_axis(x, y, ax, zoom_cutoff: float = 1):
     """Percentile-zoomed axes (reference run_dim_reduction.py:129-141)."""
     xlim = [np.percentile(x, zoom_cutoff), np.percentile(x, 100 - zoom_cutoff)]

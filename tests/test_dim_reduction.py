@@ -33,6 +33,23 @@ def test_pca_matches_sklearn(rng):
     np.testing.assert_allclose(to * signs, tr, atol=1e-2)
 
 
+def test_distributed_pca_matches_svd_path(rng):
+    """Sharded Gram-accumulation PCA == SVD PCA (components up to sign)."""
+    from dynamorph_tpu.reduce.pca import fit_pca_distributed
+
+    X = rng.randn(203, 24)  # non-divisible by the 8-device mesh
+    X[:, :3] *= 8
+    svd = fit_pca_device(X, 0.5)
+    dist = fit_pca_distributed(X, 0.5)
+    assert dist.n_components_ == svd.n_components_
+    np.testing.assert_allclose(dist.mean_, svd.mean_, atol=1e-4)
+    np.testing.assert_allclose(dist.explained_variance_ratio_,
+                               svd.explained_variance_ratio_, rtol=1e-3)
+    for a, b in zip(dist.components_, svd.components_):
+        sign = np.sign(np.dot(a, b))
+        np.testing.assert_allclose(a * sign, b, atol=1e-3)
+
+
 def test_fit_and_process_pca_roundtrip(tmp_path, rng):
     X = rng.randn(100, 16).astype(np.float32)
     labels = rng.randint(0, 2, 100)
