@@ -56,6 +56,10 @@ def prepare_dataset(dat_fs: Sequence[str], channels=None,
             dat = dat[cs].astype(float)
             tensors[k] = _resize_chw(dat, input_shape)
     ts_keys = sorted(tensors.keys())
+    if not ts_keys:
+        raise ValueError(
+            "no patches found in any stacks_*.pkl — upstream segmentation/"
+            "instance clustering produced no cells")
     dataset = np.stack([tensors[k] for k in ts_keys], 0)
     return dataset, ts_keys
 
