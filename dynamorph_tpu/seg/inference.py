@@ -20,9 +20,17 @@ from .data import load_input, plot_prediction_prob
 
 
 def _predict_tiles(model, tiles: np.ndarray, batch_bucket: int = 8):
-    """Predict a stack of (C, Z, x, y) tiles in one padded device batch."""
+    """Predict a stack of (C, Z, x, y) tiles in one padded device batch.
+
+    Intensities scale to [0, 1] here: the reference's tile path goes through
+    ``preprocess`` which divides by CHANNEL_MAX (NNsegmentation/data.py:312,
+    :412-425); raw ndarray input to Segment.predict is unscaled by contract.
+    """
+    from ..core.constants import CHANNEL_MAX
+
     n = len(tiles)
     n_pad = ((n + batch_bucket - 1) // batch_bucket) * batch_bucket
+    tiles = tiles.astype(np.float32) / CHANNEL_MAX
     if n_pad != n:
         tiles = np.concatenate(
             [tiles, np.zeros((n_pad - n,) + tiles.shape[1:], tiles.dtype)], 0)
@@ -68,10 +76,13 @@ def predict_whole_map_direct(inputs: np.ndarray, model,
 
     # model._predict_fn is jitted once at construction; jit handles the new
     # whole-frame input shape as a separate cache entry
+    from ..core.constants import CHANNEL_MAX
+
     predict = model._predict_fn
     outs = []
     for t0 in range(0, n_frame, frame_batch):
-        batch = inputs[t0: t0 + frame_batch, :, 0].astype(np.float32)
+        batch = inputs[t0: t0 + frame_batch, :, 0].astype(np.float32) / \
+            CHANNEL_MAX
         n_b = len(batch)
         if n_b < frame_batch:
             batch = np.concatenate(

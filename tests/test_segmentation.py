@@ -140,7 +140,9 @@ def test_predict_whole_map_direct_mode(tmp_path, rng):
     whole = model.__class__(input_shape=(2, 64, 64), n_classes=3,
                             model_path=str(tmp_path / "w"))
     whole.params, whole.state = model.params, model.state
-    ref = whole.predict(inputs[:, :, :].astype(np.float32))
+    # both inference modes scale intensities by CHANNEL_MAX; Segment.predict
+    # on a raw ndarray does not (reference contract), so prescale here
+    ref = whole.predict(inputs.astype(np.float32) / 65535.0)
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
