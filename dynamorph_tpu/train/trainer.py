@@ -69,8 +69,12 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
                 shuffle_data: bool = False, transform: bool = False,
                 val_split_ratio: float = 0.15, patience: Optional[int] = 20,
                 mesh: Optional[Mesh] = None, seed: int = 0,
-                params=None, state=None, save_every_epoch: bool = False):
+                params=None, state=None, save_every_epoch: bool = False,
+                resume: bool = False):
     """Train a VQ-VAE family model. Returns (params, state, history).
+
+    ``resume=True`` restores params/state/optimizer-moments/epoch from the
+    output dir's best checkpoint if present and continues.
 
     Args mirror the reference `train` (run_training.py:455-486): Adam(0.9,
     0.999), per-epoch train/val loss averaging, TensorBoard scalars, early
@@ -87,6 +91,19 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
 
     optimizer = optax.adam(lr, b1=0.9, b2=0.999)
     opt_state = optimizer.init(params)
+    start_epoch = 0
+    resume_path = os.path.join(output_dir, "model_ckpt")
+    if resume and os.path.exists(resume_path):
+        from .checkpoint import restore_checkpoint
+
+        ck = restore_checkpoint(resume_path)
+        params, state = ck["params"], ck["state"]
+        if "opt_state" in ck and ck["opt_state"] is not None:
+            opt_state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(opt_state),
+                jax.tree_util.tree_leaves(ck["opt_state"]))
+        start_epoch = int(ck.get("epoch", -1)) + 1
+        print(f"Resuming from {resume_path} at epoch {start_epoch}")
     train_step = make_train_step(model, optimizer, mesh=mesh, augment=transform)
     eval_step = make_eval_step(model, mesh=mesh)
 
@@ -122,7 +139,7 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
                 losses_acc.setdefault(k, []).append(float(v))
         return {k: float(np.mean(v)) for k, v in losses_acc.items()}
 
-    for epoch in range(n_epochs):
+    for epoch in range(start_epoch, n_epochs):
         ek_train, ek_val, key = jax.random.split(key, 3)
         train_losses = run_epoch(train_ids, n_batches, True, ek_train)
         val_losses = run_epoch(val_ids, n_val_batches, False, ek_val)
@@ -135,7 +152,9 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
             # legacy per-epoch checkpoints (reference vq_vae_supp.py:385)
             save_checkpoint(os.path.join(output_dir, f"model_epoch{epoch}"),
                             {"params": params, "state": state})
-        early(val_losses["total_loss"], {"params": params, "state": state})
+        early(val_losses["total_loss"],
+              {"params": params, "state": state, "opt_state": opt_state,
+               "epoch": epoch})
         if early.early_stop:
             print("Early stopping")
             break

@@ -100,6 +100,22 @@ def test_trainer_smoke(tmp_path, rng):
     assert (tmp_path / "metrics.jsonl").exists()
 
 
+def test_trainer_resume_restores_optimizer_and_epoch(tmp_path, rng):
+    from dynamorph_tpu.train.trainer import train_vqvae
+
+    model = VQVAEz32(num_embeddings=8, num_hiddens=8, num_residual_hiddens=8)
+    dataset = rng.rand(16, 2, 32, 32).astype(np.float32)
+    p1, s1, h1 = train_vqvae(model, dataset, str(tmp_path), n_epochs=2,
+                             batch_size=8, patience=10, transform=False)
+    assert h1[-1]["epoch"] == 1
+    # resume continues from epoch 2 with restored params/opt moments
+    p2, s2, h2 = train_vqvae(model, dataset, str(tmp_path), n_epochs=4,
+                             batch_size=8, patience=10, transform=False,
+                             resume=True)
+    assert [r["epoch"] for r in h2] == [2, 3]
+    assert np.isfinite(h2[-1]["val"]["total_loss"])
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from dynamorph_tpu.train.checkpoint import save_checkpoint, restore_checkpoint
 
