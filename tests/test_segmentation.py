@@ -103,6 +103,38 @@ def test_generate_patches_matches_reference_rng(rng, tmp_path):
         np.testing.assert_allclose(yo, yr)
 
 
+@pytest.mark.skipif(not has_reference(), reason="no reference checkout")
+def test_generate_patches_rotate_matches_reference(rng, tmp_path):
+    """Rotation-augmented patch generation: same seeded draws + identical
+    cv2 warpAffine results as the reference."""
+    sys.path.insert(0, REFERENCE_DIR)
+    from NNsegmentation.data import generate_patches as ref_generate
+
+    inputs, labels = _scene(rng, size=256)
+    np.save(tmp_path / "in.npy", inputs)
+    np.save(tmp_path / "lb.npy", labels)
+    ours = generate_patches(inputs, labels, n_patches=3, x_size=64, y_size=64,
+                            rotate=True, mirror=True, seed=7)
+    theirs = ref_generate(str(tmp_path / "in.npy"), str(tmp_path / "lb.npy"),
+                          n_patches=3, x_size=64, y_size=64,
+                          rotate=True, mirror=True, seed=7)
+    for (xo, yo), (xr, yr) in zip(ours, theirs):
+        np.testing.assert_allclose(xo, xr)
+        np.testing.assert_allclose(yo, yr)
+
+
+def test_binary_segmentation_gets_background_channel(rng):
+    """1-channel masks gain a background channel (reference
+    instance_clustering.py:52-53)."""
+    from dynamorph_tpu.track.clustering import check_segmentation_dim
+
+    fg = (rng.rand(1, 1, 32, 32) > 0.7).astype(float)
+    out = check_segmentation_dim(fg)
+    assert out.shape == (2, 1, 32, 32)
+    np.testing.assert_allclose(out.sum(0), 1.0)
+    np.testing.assert_allclose(out[1], fg[0])
+
+
 def test_segment_fit_reduces_loss(tmp_path, rng):
     inputs, labels = _scene(rng, size=64)
     patches = generate_ordered_patches(inputs, labels, x_size=32, y_size=32)
