@@ -162,6 +162,71 @@ def test_on_device_normalization_matches_host(rng):
     assert mse < 1e-5, mse
 
 
+@pytest.mark.skipif(not has_reference(), reason="no reference checkout")
+def test_combine_dataset_matches_reference(tmp_path, rng):
+    """Multi-well dataset merge: global name sort, relation re-indexing."""
+    # the reference module chain imports torchvision (absent here); stub it
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_models = types.ModuleType("torchvision.models")
+        tv_resnet = types.ModuleType("torchvision.models.resnet")
+
+        class _Fake:
+            pass
+
+        tv_resnet.ResNet = type("ResNet", (), {"__init__":
+                                               lambda self, *a, **k: None})
+        tv_resnet.BasicBlock = _Fake
+        tv_resnet.Bottleneck = _Fake
+        tv_models.resnet = tv_resnet
+        tv.models = tv_models
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv_models
+        sys.modules["torchvision.models.resnet"] = tv_resnet
+    from pipeline.patch_VAE import combine_dataset as ref_combine
+
+    from dynamorph_tpu.pipeline.patch_vae import combine_dataset
+
+    def make_well(name, n, offset):
+        fs = [f"/supp/{name}-supps/{name}-Site_0/{t}_{c}.h5"
+              for t, c in zip(range(n), range(offset, offset + n))]
+        data = rng.rand(n, 2, 128, 128)
+        rel = {(i, i): 2 for i in range(n)}
+        if n > 1:
+            rel[(0, 1)] = rel[(1, 0)] = 2
+        return fs, data, rel
+
+    for d, prefix in [(tmp_path / "ours", "o"), (tmp_path / "ref", "r")]:
+        d.mkdir()
+    names_ours, names_ref = [], []
+    rng_state = rng.get_state()
+    for base, names in [(tmp_path / "ours", names_ours),
+                        (tmp_path / "ref", names_ref)]:
+        rng.set_state(rng_state)  # identical data for both trees
+        for well, n, off in [("C4", 3, 0), ("C5", 2, 10)]:
+            fs, data, rel = make_well(well, n, off)
+            name = str(base / well)
+            save_pickle(fs, name + "_file_paths.pkl")
+            save_pickle(data, name + "_static_patches.pkl")
+            save_pickle(rel, name + "_static_patches_relations.pkl")
+            names.append(name)
+
+    combine_dataset(names_ours, str(tmp_path / "ours" / "ALL"),
+                    save_mask=False)
+    ref_combine(names_ref, str(tmp_path / "ref" / "ALL"), save_mask=False)
+
+    for suffix in ["_file_paths.pkl", "_static_patches.pkl",
+                   "_static_patches_relations.pkl"]:
+        ours = load_pickle(str(tmp_path / "ours" / ("ALL" + suffix)))
+        ref = load_pickle(str(tmp_path / "ref" / ("ALL" + suffix)))
+        if isinstance(ours, np.ndarray):
+            np.testing.assert_allclose(ours, ref)
+        else:
+            assert ours == ref
+
+
 def test_trajectory_matching(tmp_path, rng, config):
     raw, supp = _make_well(tmp_path, rng)
     assemble_vae(raw, supp, SITES, config)
