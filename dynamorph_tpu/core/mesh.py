@@ -29,6 +29,13 @@ def make_mesh(n_devices: int | None = None, axis_names=("data",), shape=None) ->
     devs = jax.devices()
     if n_devices is None:
         n_devices = len(devs)
+    if n_devices > len(devs):
+        raise ValueError(
+            f"make_mesh: requested {n_devices} devices, found {len(devs)} "
+            f"on platform '{devs[0].platform}'. For logic tests, force an "
+            f"n-device CPU backend (jax.config.update('jax_platforms', "
+            f"'cpu') + XLA_FLAGS=--xla_force_host_platform_device_count=n "
+            f"before backend init).")
     devs = devs[:n_devices]
     if shape is None:
         shape = (n_devices,) + (1,) * (len(axis_names) - 1)

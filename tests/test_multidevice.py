@@ -62,3 +62,29 @@ def test_sharded_encode_inserts_no_host_transfers(rng, model_and_params):
     zb, za, idx = jax.jit(lambda p, s, x: model.encode(p, s, x))(p, s, x)
     assert zb.shape == (16, 8, 8, 8)  # 64^2 input -> 8^2 latent grid
     assert np.isfinite(np.asarray(zb)).all()
+
+
+def test_make_mesh_too_many_devices_errors():
+    with pytest.raises(ValueError, match="requested 16 devices, found 8"):
+        make_mesh(16)
+
+
+def test_dryrun_multichip_bootstraps_from_pinned_backend():
+    """The driver imports __graft_entry__ in a fresh interpreter whose jax
+    backend is pinned to the (1-device) TPU plugin and calls
+    dryrun_multichip(8) directly. The function must self-bootstrap an
+    8-device CPU backend (subprocess re-exec) — regression for
+    MULTICHIP_r01 ok:false."""
+    import subprocess
+    import sys
+    import os
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=580)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(8): ok" in proc.stdout
