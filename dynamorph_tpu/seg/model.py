@@ -119,18 +119,21 @@ class Segment:
         n = X.shape[0]
         for epoch in range(n_epochs):
             order = rng.permutation(n)
-            losses = []
+            # losses accumulate on device; one host fetch per epoch (a
+            # per-batch float() would sync device->host every step)
+            loss_sum, n_b = None, 0
             for i in range(0, n, batch_size):
                 bids = order[i: i + batch_size]
                 self.params, self.state, opt_state, loss = step(
                     self.params, self.state, opt_state,
                     jnp.asarray(X[bids]), jnp.asarray(y[bids]))
-                loss = float(loss)
-                if not np.isfinite(loss):  # TerminateOnNaN
-                    print("NaN loss encountered, terminating training")
-                    return history
-                losses.append(loss)
-            rec = {"epoch": epoch, "loss": float(np.mean(losses))}
+                loss_sum = loss if loss_sum is None else loss_sum + loss
+                n_b += 1
+            epoch_loss = float(loss_sum) / n_b
+            if not np.isfinite(epoch_loss):  # TerminateOnNaN (per epoch)
+                print("NaN loss encountered, terminating training")
+                return history
+            rec = {"epoch": epoch, "loss": epoch_loss}
             if valid is not None:
                 rec.update(self._validate(valid))
                 # ReduceLROnPlateau(patience=5, min_lr=1e-7)

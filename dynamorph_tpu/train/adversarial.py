@@ -76,6 +76,10 @@ def train_adversarial(model, dataset: np.ndarray, output_dir: str,
 
     @jax.jit
     def step(params, state, opt_state, batch, rel, bmask, key):
+        if rel is not None:
+            rel = rel.astype(jnp.float32)
+        if bmask is not None:
+            bmask = bmask.astype(jnp.float32)
         os_recon, os_gen, os_dis = opt_state
         k_aug, k_d, k_g = jax.random.split(key, 3)
         if transform:
@@ -106,7 +110,7 @@ def train_adversarial(model, dataset: np.ndarray, output_dir: str,
     n_batches = int(np.ceil(n / batch_size))
     history = []
     for epoch in range(n_epochs):
-        accum = {}
+        totals = None  # on-device running sums; one host fetch per epoch
         for i in range(n_batches):
             bids = sample_ids[i * batch_size: (i + 1) * batch_size]
             batch = jnp.asarray(dataset[bids])
@@ -117,11 +121,12 @@ def train_adversarial(model, dataset: np.ndarray, output_dir: str,
             step_key = jax.random.fold_in(jax.random.fold_in(key, epoch), i)
             params, state, opt_state, losses = step(
                 params, state, opt_state, batch, rel, bmask, step_key)
-            for k, v in losses.items():
-                accum.setdefault(k, []).append(float(v))
+            totals = losses if totals is None else jax.tree_util.tree_map(
+                jnp.add, totals, losses)
         if shuffle_data:
             rng.shuffle(sample_ids)
-        mean_loss = {k: float(np.mean(v)) for k, v in accum.items()}
+        mean_loss = {k: float(v) / n_batches
+                     for k, v in jax.device_get(totals).items()}
         writer.write("Loss", mean_loss, epoch)
         history.append({"epoch": epoch, **mean_loss})
         # per-epoch checkpoint (reference run_training.py:767)

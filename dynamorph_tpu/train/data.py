@@ -109,20 +109,26 @@ def split_data_ids(n: int, val_split_ratio: float, shuffle: bool, rng):
 
 def slice_relation_mat(relation_mat, sample_ids) -> Optional[np.ndarray]:
     """Dense (B, B) relation block for a minibatch
-    (reference run_training.py:335-355)."""
+    (reference run_training.py:335-355).
+
+    Returned as uint8 (values are exactly {0, 1, 2}): at B=768 the block is
+    2.3 MB as float32 per step of host->device traffic; uint8 is 4x less.
+    The train step casts to float32 on device.
+    """
     if relation_mat is None:
         return None
-    block = relation_mat[sample_ids][:, sample_ids]
-    return np.asarray(block.todense(), dtype=np.float32)
+    block = np.asarray(relation_mat[sample_ids][:, sample_ids].todense())
+    return block.astype(np.uint8)
 
 
 def slice_mask(mask: Optional[np.ndarray], sample_ids) -> Optional[np.ndarray]:
     """Batch weight masks: take the 'large' mask channel and map {-1,1}->{0,1}
-    (reference run_training.py:358-374)."""
+    (reference run_training.py:358-374). Returned as uint8 (binary) to cut
+    host->device traffic 4x; cast to float32 on device."""
     if mask is None:
         return None
     batch_mask = mask[sample_ids][:, 1:2, :, :]
-    return ((batch_mask + 1.0) / 2.0).astype(np.float32)
+    return ((batch_mask + 1.0) / 2.0).astype(np.uint8)
 
 
 def zscore(input_image: np.ndarray, channel_mean=None, channel_std=None):

@@ -65,6 +65,12 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
         return losses["total_loss"], (losses, new_state)
 
     def step(params, state, opt_state, batch, rel, mask, key):
+        # relation blocks / masks arrive as uint8 (4x less host->device
+        # traffic); compute in float32
+        if rel is not None:
+            rel = rel.astype(jnp.float32)
+        if mask is not None:
+            mask = mask.astype(jnp.float32)
         if mesh is not None:
             data_sh = NamedSharding(mesh, P("data"))
             rep = NamedSharding(mesh, P())
@@ -86,6 +92,10 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
 
 def make_eval_step(model, mesh: Optional[Mesh] = None, needs_key: bool = False):
     def step(params, state, batch, rel, mask, key):
+        if rel is not None:
+            rel = rel.astype(jnp.float32)
+        if mask is not None:
+            mask = mask.astype(jnp.float32)
         if mesh is not None:
             data_sh = NamedSharding(mesh, P("data"))
             batch = jax.lax.with_sharding_constraint(batch, data_sh)

@@ -121,7 +121,11 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
 
     def run_epoch(ids, n_b, training, epoch_key):
         nonlocal params, state, opt_state
-        losses_acc: Dict[str, list] = {}
+        # Loss scalars accumulate ON DEVICE (a running sum per key); the only
+        # host fetch is one device_get per epoch. A per-batch float() would
+        # force a device->host sync every step and serialise the async
+        # dispatch pipeline.
+        totals = None
         for i in range(n_b):
             bids = ids[i * batch_size: (i + 1) * batch_size]
             batch = jnp.asarray(dataset[bids])
@@ -135,9 +139,12 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
                     params, state, opt_state, batch, rel, bmask, step_key)
             else:
                 losses = eval_step(params, state, batch, rel, bmask, step_key)
-            for k, v in losses.items():
-                losses_acc.setdefault(k, []).append(float(v))
-        return {k: float(np.mean(v)) for k, v in losses_acc.items()}
+            totals = losses if totals is None else jax.tree_util.tree_map(
+                jnp.add, totals, losses)
+        if totals is None:
+            return {}
+        totals = jax.device_get(totals)  # single host sync per epoch
+        return {k: float(v) / n_b for k, v in totals.items()}
 
     for epoch in range(start_epoch, n_epochs):
         ek_train, ek_val, key = jax.random.split(key, 3)
@@ -221,7 +228,9 @@ def train_triplet(model, train_set, val_set, output_dir: str,
                           verbose=True)
     history = []
     for epoch in range(log_step_offset, n_epochs):
-        accum = {True: {}, False: {}}
+        # on-device running loss sums; one host fetch per epoch per split
+        totals = {True: None, False: None}
+        counts = {True: 0, False: 0}
         for training, dataset in ((True, train_set), (False, val_set)):
             for labels, data in triplet_batches(dataset, batch_size,
                                                 shuffle=training, rng=rng):
@@ -232,10 +241,18 @@ def train_triplet(model, train_set, val_set, output_dir: str,
                         params, state, opt_state, batch, lab)
                 else:
                     losses = eval_step(params, state, batch, lab)
-                for k, v in losses.items():
-                    accum[training].setdefault(k, []).append(float(v))
-        train_losses = {k: float(np.mean(v)) for k, v in accum[True].items()}
-        val_losses = {k: float(np.mean(v)) for k, v in accum[False].items()}
+                totals[training] = losses if totals[training] is None else \
+                    jax.tree_util.tree_map(jnp.add, totals[training], losses)
+                counts[training] += 1
+
+        def mean_of(flag):
+            if totals[flag] is None:
+                return {}
+            fetched = jax.device_get(totals[flag])
+            return {k: float(v) / counts[flag] for k, v in fetched.items()}
+
+        train_losses = mean_of(True)
+        val_losses = mean_of(False)
         writer.write("Loss", train_losses, epoch)
         writer.write("Val loss", val_losses, epoch)
         history.append({"epoch": epoch, "train": train_losses,
