@@ -206,6 +206,49 @@ def import_aae(sd: dict, num_residual_layers: int = 2):
     return params, state
 
 
+def import_resnet34_encoder(sd: dict):
+    """torchvision ``resnet34`` state_dict -> (params, state) subtrees for
+    the UNet encoder (keys ``stem`` and ``layer1``..``layer4``).
+
+    The reference builds its segmentation net from an ImageNet-pretrained
+    resnet34 encoder (reference NNsegmentation/models.py:80-82,
+    ``Unet('resnet34', encoder_weights='imagenet')``); this maps torchvision's
+    stable naming (conv1/bn1, layer{1-4}.{i}.conv{1,2}/bn{1,2}/downsample)
+    onto our UNet pytree so a pretrained encoder can initialise `Segment`
+    (pass ``encoder_weights=`` to it). The classifier head (``fc.*``) and any
+    extra keys are ignored.
+    """
+    bn_p, bn_s = _bn(sd, "bn1")
+    params = {"stem": {
+        "conv": {"kernel": jnp.asarray(
+            conv_kernel_from_torch(sd["conv1.weight"]))},
+        "bn": bn_p}}
+    state = {"stem": {"bn": bn_s}}
+    for li, n_blocks in enumerate((3, 4, 6, 3)):
+        blocks_p, blocks_s = [], []
+        for b in range(n_blocks):
+            prefix = f"layer{li + 1}.{b}"
+            p, s = {}, {}
+            for ci in (1, 2):
+                p[f"conv{ci}"] = {"kernel": jnp.asarray(
+                    conv_kernel_from_torch(sd[f"{prefix}.conv{ci}.weight"]))}
+                bnp, bns = _bn(sd, f"{prefix}.bn{ci}")
+                p[f"bn{ci}"] = bnp
+                s[f"bn{ci}"] = bns
+            if f"{prefix}.downsample.0.weight" in sd:
+                p["down"] = {"kernel": jnp.asarray(
+                    conv_kernel_from_torch(
+                        sd[f"{prefix}.downsample.0.weight"]))}
+                dbn_p, dbn_s = _bn(sd, f"{prefix}.downsample.1")
+                p["down_bn"] = dbn_p
+                s["down_bn"] = dbn_s
+            blocks_p.append(p)
+            blocks_s.append(s)
+        params[f"layer{li + 1}"] = blocks_p
+        state[f"layer{li + 1}"] = blocks_s
+    return params, state
+
+
 def import_encode_project(sd: dict, arch: str = "ResNet50"):
     """state_dict -> (params, state) for EncodeProject
     (reference HiddenStateExtractor/resnet.py:70-127; torchvision ResNet

@@ -8,9 +8,11 @@ from-scratch functional JAX implementation, NHWC, jit-able end to end, with
 the weighted per-pixel cross-entropy of NNsegmentation/layers.py:89-115.
 
 ImageNet encoder pre-training is not bundled (no network access at build
-time); `init` takes `key` and returns randomly-initialised params, and
-torchvision-format resnet34 weights can be imported via
-``import_resnet34_encoder`` when available.
+time); `init` takes `key` and returns randomly-initialised params.
+torchvision-format resnet34 weights are imported via
+``models.torch_import.import_resnet34_encoder`` (or pass
+``encoder_weights=`` to ``seg.model.Segment``), matching the reference's
+``Unet('resnet34', encoder_weights='imagenet')``.
 """
 from __future__ import annotations
 

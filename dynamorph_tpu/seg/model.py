@@ -29,11 +29,16 @@ class Segment:
         input_shape: (c, x, y) like the reference's channels-first input spec.
         n_classes: number of prediction classes.
         model_path: directory for checkpoints (a temp dir if omitted).
+        encoder_weights: optional pretrained resnet34 encoder init — a
+            torchvision-format state_dict ({name: array} dict or a path to a
+            torch checkpoint). Mirrors the reference's
+            Unet('resnet34', encoder_weights='imagenet')
+            (NNsegmentation/models.py:80-82).
     """
 
     def __init__(self, input_shape=(2, 256, 256), n_classes: int = 3,
                  freeze_encoder: bool = False, model_path: Optional[str] = None,
-                 seed: int = 0, **kwargs):
+                 seed: int = 0, encoder_weights=None, **kwargs):
         self.input_shape = tuple(input_shape)
         self.n_channels = self.input_shape[0]
         self.x_size, self.y_size = self.input_shape[-2:]
@@ -44,12 +49,27 @@ class Segment:
         # per layer (dozens of round-trips on remote-compile setups)
         self.params, self.state = jax.jit(self._init_net)(
             jax.random.PRNGKey(seed))
+        if encoder_weights is not None:
+            self._load_encoder_weights(encoder_weights)
         self._predict_fn = jax.jit(self._predict_impl)
         # jitted once here: a fresh jax.jit(lambda ...) per call would
         # retrace/recompile every invocation (jit caches on fn identity)
         self._logits_fn = jax.jit(
             lambda p, s, x: self._apply_logits(p, s, x, False))
         self._lr = 1e-3  # keras Adam default
+
+    def _load_encoder_weights(self, encoder_weights) -> None:
+        """Overlay a torchvision-format resnet34 state_dict onto the UNet
+        encoder subtrees (stem + layer1..4), leaving pre_conv/decoder/head
+        at their random init."""
+        from ..models.torch_import import (import_resnet34_encoder,
+                                           load_state_dict_numpy)
+
+        sd = (encoder_weights if isinstance(encoder_weights, dict)
+              else load_state_dict_numpy(encoder_weights))
+        enc_p, enc_s = import_resnet34_encoder(sd)
+        self.params = {**self.params, **enc_p}
+        self.state = {**self.state, **enc_s}
 
     # -- overridable network definition --------------------------------
     def _init_net(self, key):
