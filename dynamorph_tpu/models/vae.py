@@ -103,6 +103,8 @@ class VAEModel:
     w_n: float = -0.5
     margin: float = 0.5
     channel_var: Tuple[float, ...] = (1.0, 1.0)
+    # optional sharded time-matching loss (see models/vqvae.py tm_loss_fn)
+    tm_loss_fn: object = None
 
     def init(self, key):
         ks = jax.random.split(key, 12)
@@ -134,8 +136,9 @@ class VAEModel:
         tm = jnp.zeros((), jnp.float32)
         if time_matching_mat is not None:
             zf = z_mean.reshape(z_mean.shape[0], -1)
-            tm = common.time_matching_loss(zf, time_matching_mat,
-                                           self.w_a, self.w_t, self.w_n, self.margin)
+            tm_fn = self.tm_loss_fn or common.time_matching_loss
+            tm = tm_fn(zf, time_matching_mat,
+                       self.w_a, self.w_t, self.w_n, self.margin)
             total = total + self.weight_matching * tm
         losses = {
             "recon_loss": recon / (inputs.shape[0] * 32768),
@@ -181,8 +184,9 @@ class IWAEModel(VAEModel):
         tm = jnp.zeros((), jnp.float32)
         if time_matching_mat is not None:
             zf = z_mean.reshape(z_mean.shape[0], -1)
-            tm = common.time_matching_loss(zf, time_matching_mat,
-                                           self.w_a, self.w_t, self.w_n, self.margin)
+            tm_fn = self.tm_loss_fn or common.time_matching_loss
+            tm = tm_fn(zf, time_matching_mat,
+                       self.w_a, self.w_t, self.w_n, self.margin)
 
         cv = self._channel_var()
 
@@ -233,6 +237,8 @@ class AAEModel:
     w_n: float = -0.5
     margin: float = 0.5
     channel_var: Tuple[float, ...] = (1.0, 1.0)
+    # optional sharded time-matching loss (see models/vqvae.py tm_loss_fn)
+    tm_loss_fn: object = None
 
     def init(self, key):
         ks = jax.random.split(key, 24)
@@ -307,8 +313,9 @@ class AAEModel:
         tm = jnp.zeros((), jnp.float32)
         if time_matching_mat is not None:
             zf = z.reshape(z.shape[0], -1)
-            tm = common.time_matching_loss(zf, time_matching_mat,
-                                           self.w_a, self.w_t, self.w_n, self.margin)
+            tm_fn = self.tm_loss_fn or common.time_matching_loss
+            tm = tm_fn(zf, time_matching_mat,
+                       self.w_a, self.w_t, self.w_n, self.margin)
             total = total + self.weight_matching * tm
         losses = {
             "recon_loss": recon,

@@ -53,6 +53,13 @@ class VQVAEBase:
     margin: float = 0.5
     channel_var: Tuple[float, ...] = (1.0, 1.0)
     vq_impl: str = "auto"
+    # Time-matching loss implementation. None -> the dense (B, B)
+    # common.time_matching_loss. For mesh-sharded training with
+    # trajectory-contiguous shards, inject
+    # train.sharded_loss.make_traj_sharded_tm_loss(mesh) (ring/ppermute,
+    # no z_flat all-gather) via dataclasses.replace; the relation argument
+    # is then the block-diagonal (B, B/n) representation.
+    tm_loss_fn: object = None
 
     # ---- shared pieces -------------------------------------------------
 
@@ -92,8 +99,9 @@ class VQVAEBase:
             total = recon + c_loss
         tm = jnp.zeros((), jnp.float32)
         if time_matching_mat is not None:
-            tm = common.time_matching_loss(
-                z_flat, time_matching_mat, self.w_a, self.w_t, self.w_n, self.margin)
+            tm_fn = self.tm_loss_fn or common.time_matching_loss
+            tm = tm_fn(z_flat, time_matching_mat, self.w_a, self.w_t,
+                       self.w_n, self.margin)
             total = total + self.weight_matching * tm
         return {
             "recon_loss": recon,

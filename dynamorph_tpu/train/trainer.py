@@ -70,11 +70,18 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
                 val_split_ratio: float = 0.15, patience: Optional[int] = 20,
                 mesh: Optional[Mesh] = None, seed: int = 0,
                 params=None, state=None, save_every_epoch: bool = False,
-                resume: bool = False):
+                resume: bool = False, traj_sharded_loss: bool = False):
     """Train a VQ-VAE family model. Returns (params, state, history).
 
     ``resume=True`` restores params/state/optimizer-moments/epoch from the
     output dir's best checkpoint if present and continues.
+
+    ``traj_sharded_loss=True`` (requires ``mesh`` and ``relation_mat``):
+    assign whole trajectories to device shards each batch and compute the
+    time-matching loss block-diagonally with a ring pass for cross-shard
+    negatives (train/sharded_loss.py) — no (B, L) z_flat all-gather and
+    n_devices-times less relation-matrix host->device traffic. Requires
+    batch_size divisible by the mesh; trailing partial batches are dropped.
 
     Args mirror the reference `train` (run_training.py:455-486): Adam(0.9,
     0.999), per-epoch train/val loss averaging, TensorBoard scalars, early
@@ -104,12 +111,32 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
                 jax.tree_util.tree_leaves(ck["opt_state"]))
         start_epoch = int(ck.get("epoch", -1)) + 1
         print(f"Resuming from {resume_path} at epoch {start_epoch}")
+    n = len(dataset)
+    n_shards, traj_ids = 1, None
+    if traj_sharded_loss:
+        if mesh is None or relation_mat is None:
+            raise ValueError(
+                "traj_sharded_loss requires a mesh and a relation_mat")
+        import dataclasses as _dc
+
+        from . import sharded_loss as SL
+
+        n_shards = mesh.shape["data"]
+        if batch_size % n_shards:
+            raise ValueError(
+                f"batch_size {batch_size} must divide the mesh ({n_shards})")
+        traj_ids = SL.trajectory_ids_from_relations(relation_mat, n)
+        model = _dc.replace(
+            model, tm_loss_fn=SL.make_traj_sharded_tm_loss(mesh))
     train_step = make_train_step(model, optimizer, mesh=mesh, augment=transform)
     eval_step = make_eval_step(model, mesh=mesh)
 
-    n = len(dataset)
     train_ids, val_ids = data_utils.split_data_ids(
         n, val_split_ratio, shuffle_data, rng)
+    if traj_sharded_loss:
+        # blocked loss needs full shard chunks: drop trailing partial batches
+        train_ids = train_ids[:len(train_ids) - len(train_ids) % batch_size]
+        val_ids = val_ids[:len(val_ids) - len(val_ids) % batch_size]
     n_batches = int(np.ceil(len(train_ids) / batch_size))
     n_val_batches = int(np.ceil(len(val_ids) / batch_size))
 
@@ -128,8 +155,14 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
         totals = None
         for i in range(n_b):
             bids = ids[i * batch_size: (i + 1) * batch_size]
+            if traj_sharded_loss:
+                from . import sharded_loss as SL
+
+                bids = SL.pack_trajectories(bids, traj_ids, n_shards)
+                rel = SL.blockdiag_relations(relation_mat, bids, n_shards)
+            else:
+                rel = data_utils.slice_relation_mat(relation_mat, bids)
             batch = jnp.asarray(dataset[bids])
-            rel = data_utils.slice_relation_mat(relation_mat, bids)
             rel = jnp.asarray(rel) if rel is not None else None
             bmask = data_utils.slice_mask(mask, bids)
             bmask = jnp.asarray(bmask) if bmask is not None else None
