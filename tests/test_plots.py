@@ -1,0 +1,110 @@
+"""Smoke tests for analysis/plots.py: every figure family renders a valid
+non-empty PNG/GIF from synthetic inputs."""
+import os
+
+import numpy as np
+import pytest
+
+from dynamorph_tpu.analysis import plots
+
+
+@pytest.fixture
+def frame(rng):
+    return (rng.rand(128, 128) * 60000).astype(np.uint16)
+
+
+def _ok(path):
+    assert os.path.exists(path)
+    assert os.path.getsize(path) > 100
+
+
+def test_plot_patches_and_movie(rng, tmp_path):
+    patches = (rng.rand(4, 32, 32) * 60000).astype(np.uint16)
+    paths = plots.plot_patches(patches, str(tmp_path / "p"))
+    assert len(paths) == 4
+    for p in paths:
+        _ok(p)
+    _ok(plots.save_patch_movie(patches, str(tmp_path / "m.gif")))
+
+
+def test_plot_class_probabilities(rng, tmp_path):
+    probs = rng.rand(3, 64, 64)
+    probs /= probs.sum(0)
+    _ok(plots.plot_class_probabilities(probs, str(tmp_path / "cls.png"),
+                                       ["bg", "mg", "non-mg"]))
+
+
+def test_plot_instance_separation(rng, frame, tmp_path):
+    positions = rng.randint(0, 128, size=(300, 2))
+    labels = rng.randint(-1, 4, size=300)
+    _ok(plots.plot_instance_separation(frame, positions, labels,
+                                       str(tmp_path / "inst.png")))
+
+
+def test_draw_cell_boxes(frame, tmp_path):
+    _ok(plots.draw_cell_boxes(frame, [(40, 40), (90, 100)],
+                              str(tmp_path / "box.png"),
+                              colors=[(255, 0, 0), (0, 255, 0)], half=20))
+
+
+def test_plot_frame_matching(rng, frame, tmp_path):
+    p0 = rng.randint(10, 118, size=(5, 2))
+    p1 = p0 + rng.randint(-5, 5, size=(5, 2))
+    _ok(plots.plot_frame_matching(frame, frame, p0, p1,
+                                  [(i, i) for i in range(5)],
+                                  str(tmp_path / "match.png")))
+
+
+def test_plot_trajectory_on_frame(rng, frame, tmp_path):
+    pos = np.cumsum(rng.randint(-3, 4, size=(10, 2)), axis=0) + 64
+    _ok(plots.plot_trajectory_on_frame(frame, pos,
+                                       str(tmp_path / "traj.png")))
+
+
+def test_plot_embedding_scatter_variants(rng, tmp_path):
+    emb = rng.randn(500, 2)
+    labels = rng.randint(0, 2, size=500)
+    _ok(plots.plot_embedding_scatter(emb, str(tmp_path / "pca_cond.png"),
+                                     labels=labels,
+                                     conditions=["mock", "infected"]))
+    _ok(plots.plot_embedding_scatter(emb, str(tmp_path / "pca_val.png"),
+                                     values=rng.rand(500), cmap="BuPu"))
+    _ok(plots.plot_embedding_scatter(emb, str(tmp_path / "pca_plain.png")))
+
+
+def test_plot_explained_variance(tmp_path):
+    r = np.array([0.4, 0.2, 0.1, 0.05])
+    _ok(plots.plot_explained_variance(r, str(tmp_path / "ev.png")))
+
+
+def test_plot_pc_vs_property(rng, tmp_path):
+    pc = rng.randn(300)
+    size = np.exp(rng.randn(300) + 6)
+    _ok(plots.plot_pc_vs_property(pc, size, str(tmp_path / "sc.png"),
+                                  log_prop=True))
+    _ok(plots.plot_pc_vs_property(pc, size, str(tmp_path / "d.png"),
+                                  density=True))
+
+
+def test_plot_correlation_matrix(rng, tmp_path):
+    comp = rng.randn(200, 8)
+    props = {"size": rng.rand(200), "aspect": rng.rand(200),
+             "density": rng.rand(200)}
+    _ok(plots.plot_correlation_matrix(comp, props,
+                                      str(tmp_path / "corr.png")))
+
+
+def test_plot_distribution_comparison(rng, tmp_path):
+    _ok(plots.plot_distribution_comparison(rng.randn(100) + 1,
+                                           rng.randn(400),
+                                           str(tmp_path / "dist.png")))
+
+
+def test_plot_joint_kde(rng, tmp_path):
+    _ok(plots.plot_joint_kde(rng.randn(150), rng.randn(150) * 0.5 + 2,
+                             str(tmp_path / "kde.png")))
+
+
+def test_plot_violin_modes(rng, tmp_path):
+    groups = {"slow": rng.rand(80), "fast": rng.rand(80) + 1}
+    _ok(plots.plot_violin_modes(groups, str(tmp_path / "violin.png")))
