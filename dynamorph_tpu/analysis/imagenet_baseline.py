@@ -1,22 +1,33 @@
-"""ImageNet-pretrained baseline feature extractors (aux).
+"""ImageNet-pretrained baseline feature extractors (aux), offline-runnable.
 
-Behavioral spec: reference HiddenStateExtractor/naive_imagenet.py — Keras
-ResNet50/InceptionV2 pretrained extractors over patches, used as a baseline
-for the learned VQ-VAE latents. (Note the reference's own `predict` path is
-dead code — it references an undefined variable, naive_imagenet.py:121.)
+Behavioral spec: reference HiddenStateExtractor/naive_imagenet.py:29-129 —
+pretrained ResNet50 global-average-pool features over single-cell patches
+(each grayscale channel resized to 224x224 and replicated to 3 channels),
+used as a baseline against the learned VQ-VAE latents. (The reference's own
+`predict` is dead code — it appends to an undefined ``ys``,
+naive_imagenet.py:121; `extract_features` here is the working equivalent.)
 
-These require downloadable ImageNet weights; in offline environments the
-initialisers raise a clear error. File-path utilities and preprocessing are
-dependency-free and always available.
+TPU-native: the extractor is the JAX ResNet50 trunk from
+models/resnet_simclr.py (batched, jitted, global-avg-pool "h" output).
+Weights import from a torchvision-format ``resnet50`` state_dict — a local
+file, no Keras download — via models/torch_import.import_torchvision_resnet;
+with no weights the extractor runs with random init (structure/testing).
+The matching input preprocessing is torchvision's (scale to [0, 1],
+normalize by ImageNet channel mean/std), replacing the reference's
+caffe-style keras preprocess_input.
 """
 from __future__ import annotations
 
 import os
-from typing import List
+from typing import List, Optional, Sequence
 
 import numpy as np
 
 from ..core.constants import CHANNEL_MAX
+
+# torchvision ImageNet normalization constants
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def read_file_path(root: str) -> List[str]:
@@ -31,38 +42,88 @@ def read_file_path(root: str) -> List[str]:
 
 def preprocess_patch(dat: np.ndarray, cs=(0, 1),
                      channel_max=CHANNEL_MAX) -> np.ndarray:
-    """Scale selected channels to [0, 1] (reference naive_imagenet.py
-    preprocessing semantics)."""
+    """Scale selected channels to [0, 1] (reference preprocessing
+    semantics, naive_imagenet.py:106-117 without the x255)."""
     dat = np.asarray(dat)[np.asarray(cs)].astype(float)
     return dat / channel_max
 
 
-def initiate_model():
-    """ResNet50 ImageNet feature extractor (reference naive_imagenet.py:29).
-    Requires TF/Keras with downloadable weights."""
-    try:
-        from tensorflow.keras.applications.resnet50 import (
-            ResNet50, preprocess_input)
+def preprocess(patch: np.ndarray, cs: Sequence[int] = (0, 1),
+               channel_max=CHANNEL_MAX, size: int = 224) -> np.ndarray:
+    """One (C, H, W) patch -> (len(cs), 3, size, size) float32 network
+    inputs: per selected grayscale channel, resize to size^2, replicate to
+    3 channels, scale to [0, 1], ImageNet-normalize
+    (reference naive_imagenet.py:63-85 resize/replicate semantics;
+    normalization is torchvision's to match the imported weights).
+    """
+    import cv2
 
-        model = ResNet50(weights="imagenet", include_top=False,
-                         pooling="avg", input_shape=(224, 224, 3))
-        return model, preprocess_input
-    except Exception as e:
-        raise RuntimeError(
-            "ImageNet-pretrained baselines need TF/Keras with network access "
-            "to download weights; unavailable in this environment") from e
+    patch = np.asarray(patch)
+    if cs is None:
+        cs = range(patch.shape[0])
+    stacks = []
+    for c in cs:
+        g = cv2.resize(patch[c].astype(np.float64), (size, size))
+        g = g / np.asarray(channel_max, np.float64)
+        rgb = np.stack([g] * 3, 0).astype(np.float32)
+        rgb = (rgb - IMAGENET_MEAN[:, None, None]) / IMAGENET_STD[:, None, None]
+        stacks.append(rgb)
+    return np.stack(stacks, 0)
 
 
-def initiate_model_inception():
-    """InceptionResNetV2 extractor (reference naive_imagenet.py:47)."""
-    try:
-        from tensorflow.keras.applications.inception_resnet_v2 import (
-            InceptionResNetV2, preprocess_input)
+def initiate_model(weights: Optional[object] = None, arch: str = "ResNet50"):
+    """Build the ResNet feature extractor (reference naive_imagenet.py:29-45).
 
-        model = InceptionResNetV2(weights="imagenet", include_top=False,
-                                  pooling="avg", input_shape=(224, 224, 3))
-        return model, preprocess_input
-    except Exception as e:
-        raise RuntimeError(
-            "ImageNet-pretrained baselines need TF/Keras with network access "
-            "to download weights; unavailable in this environment") from e
+    Args:
+        weights: torchvision-format state_dict ({name: array} or a torch
+            checkpoint path) for offline pretrained init; None -> random.
+        arch: ResNet18/50/101/152.
+
+    Returns:
+        (model, params, state) — model is an EncodeProject whose
+        ``encode_fn(..., out="h")`` yields the global-avg-pool features
+        (2048-d for ResNet50).
+    """
+    import jax
+
+    from ..models.resnet_simclr import EncodeProject
+
+    model = EncodeProject(arch=arch, num_inputs=3)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    if weights is not None:
+        from ..models.torch_import import (import_torchvision_resnet,
+                                           load_state_dict_numpy)
+
+        sd = weights if isinstance(weights, dict) \
+            else load_state_dict_numpy(weights)
+        trunk_p, trunk_s = import_torchvision_resnet(sd, arch)
+        params = {**params, **trunk_p}
+        state = {**state, **trunk_s}
+    return model, params, state
+
+
+def extract_features(patches, model, params, state, cs: Sequence[int] = (0, 1),
+                     channel_max=CHANNEL_MAX, batch_size: int = 128,
+                     size: int = 224) -> np.ndarray:
+    """Encode patches to pooled ImageNet features (the working equivalent of
+    reference naive_imagenet.py:88-129 `predict`).
+
+    Args:
+        patches: (N, C, H, W) array, or a list of .h5 file paths whose
+            'masked_mat' datasets are (H, W, C) (reference layout).
+
+    Returns:
+        (N, len(cs), feat_dim) float32 features.
+    """
+    xs = []
+    for p in patches:
+        if isinstance(p, (str, os.PathLike)):
+            import h5py
+
+            with h5py.File(p, "r") as f:
+                p = np.transpose(np.asarray(f["masked_mat"]), (2, 0, 1))
+        xs.append(preprocess(p, cs=cs, channel_max=channel_max, size=size))
+    x = np.concatenate(xs, 0)  # (N * len(cs), 3, size, size)
+    feats = model.encode_batched(params, state, x, out="h",
+                                 batch_size=batch_size)
+    return feats.reshape(len(xs), len(tuple(cs)), -1)

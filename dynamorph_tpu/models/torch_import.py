@@ -249,6 +249,51 @@ def import_resnet34_encoder(sd: dict):
     return params, state
 
 
+def import_torchvision_resnet(sd: dict, arch: str = "ResNet50",
+                              prefix: str = ""):
+    """torchvision ResNet{18,50,101,152} state_dict -> (params, state) for
+    the EncodeProject convnet trunk (stem + layer1..4, torchvision naming:
+    conv1/bn1/layer{1-4}.{i}.conv*/bn*/downsample). ``prefix`` prepends a
+    module path (the reference wraps torchvision nets as ``convnet.``,
+    resnet.py:7-45); classifier head (fc.*) keys are ignored.
+    """
+    layers = {"ResNet18": (2, 2, 2, 2), "ResNet50": (3, 4, 6, 3),
+              "ResNet101": (3, 4, 23, 3), "ResNet152": (3, 8, 36, 3)}[arch]
+    bottleneck = arch != "ResNet18"
+
+    bn_p, bn_s = _bn(sd, f"{prefix}bn1")
+    params = {"stem": {
+        "conv": {"kernel": jnp.asarray(
+            conv_kernel_from_torch(sd[f"{prefix}conv1.weight"]))},
+        "bn": bn_p}}
+    state = {"stem": {"bn": bn_s}}
+
+    for li, n_blocks in enumerate(layers):
+        blocks_p, blocks_s = [], []
+        for b in range(n_blocks):
+            bpfx = f"{prefix}layer{li + 1}.{b}"
+            p, s = {}, {}
+            n_convs = 3 if bottleneck else 2
+            for ci in range(1, n_convs + 1):
+                p[f"conv{ci}"] = {"kernel": jnp.asarray(
+                    conv_kernel_from_torch(sd[f"{bpfx}.conv{ci}.weight"]))}
+                bnp, bns = _bn(sd, f"{bpfx}.bn{ci}")
+                p[f"bn{ci}"] = bnp
+                s[f"bn{ci}"] = bns
+            if f"{bpfx}.downsample.0.weight" in sd:
+                p["down"] = {"kernel": jnp.asarray(
+                    conv_kernel_from_torch(
+                        sd[f"{bpfx}.downsample.0.weight"]))}
+                dbn_p, dbn_s = _bn(sd, f"{bpfx}.downsample.1")
+                p["down_bn"] = dbn_p
+                s["down_bn"] = dbn_s
+            blocks_p.append(p)
+            blocks_s.append(s)
+        params[f"layer{li + 1}"] = blocks_p
+        state[f"layer{li + 1}"] = blocks_s
+    return params, state
+
+
 def import_encode_project(sd: dict, arch: str = "ResNet50"):
     """state_dict -> (params, state) for EncodeProject
     (reference HiddenStateExtractor/resnet.py:70-127; torchvision ResNet
@@ -259,40 +304,7 @@ def import_encode_project(sd: dict, arch: str = "ResNet50"):
     importer is exercised by structural self-consistency tests; the naming
     follows torchvision's stable public conventions.
     """
-    layers = {"ResNet18": (2, 2, 2, 2), "ResNet50": (3, 4, 6, 3),
-              "ResNet101": (3, 4, 23, 3), "ResNet152": (3, 8, 36, 3)}[arch]
-    bottleneck = arch != "ResNet18"
-
-    bn_p, bn_s = _bn(sd, "convnet.bn1")
-    params = {"stem": {
-        "conv": {"kernel": jnp.asarray(
-            conv_kernel_from_torch(sd["convnet.conv1.weight"]))},
-        "bn": bn_p}}
-    state = {"stem": {"bn": bn_s}}
-
-    for li, n_blocks in enumerate(layers):
-        blocks_p, blocks_s = [], []
-        for b in range(n_blocks):
-            prefix = f"convnet.layer{li + 1}.{b}"
-            p, s = {}, {}
-            n_convs = 3 if bottleneck else 2
-            for ci in range(1, n_convs + 1):
-                p[f"conv{ci}"] = {"kernel": jnp.asarray(
-                    conv_kernel_from_torch(sd[f"{prefix}.conv{ci}.weight"]))}
-                bnp, bns = _bn(sd, f"{prefix}.bn{ci}")
-                p[f"bn{ci}"] = bnp
-                s[f"bn{ci}"] = bns
-            if f"{prefix}.downsample.0.weight" in sd:
-                p["down"] = {"kernel": jnp.asarray(
-                    conv_kernel_from_torch(
-                        sd[f"{prefix}.downsample.0.weight"]))}
-                dbn_p, dbn_s = _bn(sd, f"{prefix}.downsample.1")
-                p["down_bn"] = dbn_p
-                s["down_bn"] = dbn_s
-            blocks_p.append(p)
-            blocks_s.append(s)
-        params[f"layer{li + 1}"] = blocks_p
-        state[f"layer{li + 1}"] = blocks_s
+    params, state = import_torchvision_resnet(sd, arch, prefix="convnet.")
 
     pbn1_p, pbn1_s = _bn(sd, "projection.bn1")
     pbn2_p, pbn2_s = _bn(sd, "projection.bn2")
