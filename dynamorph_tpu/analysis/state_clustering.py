@@ -55,6 +55,122 @@ def kmeans_on_short_trajs(vs: np.ndarray,
     return km, feats, labels
 
 
+def trajectory_summaries(traj_inds: Sequence[Sequence[int]],
+                         traj_positions: Sequence[Dict],
+                         pcs: np.ndarray, t_lag: int = 1,
+                         um_per_pixel: float = 0.325,
+                         hours_per_frame: float = 0.1518):
+    """Per-trajectory feature rows [log mean speed, mean PC vector]
+    (reference NOVEMBER_Analysis.ipynb 'GMM to multiple states' cell:
+    per-trajectory mean PCs + log of mean t_lag-frame displacement scaled
+    to um/h).
+
+    Args:
+        traj_inds: per trajectory, the patch indices into ``pcs``.
+        traj_positions: per trajectory, {t: (y, x)} centroid dicts.
+        pcs: (N, D) PCA-space descriptors.
+
+    Returns (X, speeds): X is (n_traj, 1 + D); speeds the raw means.
+    """
+    rows, speeds = [], []
+    for inds, pos in zip(traj_inds, traj_positions):
+        t_keys = sorted(pos.keys())
+        dists = [np.linalg.norm(np.asarray(pos[t + t_lag], np.float64) -
+                                np.asarray(pos[t], np.float64))
+                 for t in t_keys if (t + t_lag) in pos]
+        mean_dist = float(np.mean(dists)) if dists else 0.0
+        speeds.append(mean_dist)
+        log_speed = np.log(max(mean_dist, 1e-9) * um_per_pixel /
+                           hours_per_frame)
+        rows.append(np.concatenate([[log_speed],
+                                    np.mean(pcs[np.asarray(inds)], axis=0)]))
+    return np.stack(rows), np.asarray(speeds)
+
+
+def well_conditioned_gmm(X: np.ndarray, y: np.ndarray,
+                         init_centers: np.ndarray, n_iter: int = 50,
+                         std_floor: float = 0.6, std_ceil: float = 10.0,
+                         outlier_discount: float = 0.7,
+                         outlier_power: float = 10.0,
+                         min_std_ratio: float = 0.5):
+    """Semi-supervised EM state assignment over trajectory features
+    (reference NOVEMBER_Analysis.ipynb 'GMM' cell, parameterised).
+
+    A GMM with per-component diagonal stds tied to a clipped global scale,
+    per-well (condition) mixture priors learned alongside the components,
+    and robust M-steps that down-weight samples far from their well median:
+    weight = (1 - c*(d - d_min)/(d_max - d_min))^p.
+
+    Args:
+        X: (N, F) feature rows (trajectory_summaries output).
+        y: (N,) integer condition/well labels (the prior grouping).
+        init_centers: (K, F) initial component centers.
+
+    Returns dict with 'posterior' (N, K), 'centers', 'stds',
+    'well_prob_mat' (n_wells, K), and hard 'states' (N,).
+    """
+    X = np.asarray(X, np.float64)
+    y = np.asarray(y)
+    classes = sorted(np.unique(y).tolist())
+    y_idx = np.searchsorted(np.asarray(classes), y)
+    std_unit = np.clip(np.std(X, axis=0), std_floor, std_ceil)
+    centers = [np.asarray(c, np.float64) for c in init_centers]
+    stds = [std_unit.copy() for _ in centers]
+
+    def sample_prob(X, centers, stds):
+        d2 = np.square((X[:, None, :] - np.stack(centers)[None]) /
+                       np.stack(stds)[None]).sum(2)
+        d2 = d2 - d2.min(1, keepdims=True)
+        return np.exp(-0.5 * d2)
+
+    well_prob = np.zeros((len(classes), len(centers)))
+    sp = sample_prob(X, centers, stds)
+    for i in range(len(classes)):
+        line = sp[y_idx == i].sum(0)
+        well_prob[i] = line / line.sum()
+
+    posterior = None
+    for _ in range(n_iter):
+        # E-step: sample likelihood x well prior
+        sp = sample_prob(X, centers, stds)
+        post = sp * well_prob[y_idx]
+        post /= post.sum(1, keepdims=True)
+        posterior = post
+        # robust M-step: down-weight well-level outliers
+        outlying = np.zeros(len(X))
+        for i in range(len(classes)):
+            inds = np.where(y_idx == i)[0]
+            med = np.median(X[inds], axis=0, keepdims=True)
+            outlying[inds] = np.linalg.norm(X[inds] - med, axis=1)
+        rng_ = outlying.max() - outlying.min()
+        if rng_ > 0:
+            w_out = (1 - outlier_discount *
+                     (outlying - outlying.min()) / rng_) ** outlier_power
+        else:
+            w_out = np.ones(len(X))
+        weights = post * w_out[:, None]
+        new_centers, new_stds = [], []
+        for k in range(weights.shape[1]):
+            w = weights[:, k:k + 1]
+            center = (w * X).sum(0) / w.sum()
+            std = np.sqrt((w * (X - center) ** 2).sum(0) / w.sum())
+            # floor the scale ratio: without it a component that captures a
+            # tight cluster sharpens, sheds members, and collapses to a
+            # point (the reference notebook never hits this on its broad
+            # real-data clusters; a library function must not NaN out)
+            ratio = max(np.median((std / std_unit)[:min(5, X.shape[1])]),
+                        min_std_ratio)
+            new_centers.append(center)
+            new_stds.append(ratio * std_unit)
+        centers, stds = new_centers, new_stds
+        well_prob = np.stack([
+            weights[y_idx == i].sum(0) / weights[y_idx == i].sum()
+            for i in range(len(classes))])
+    return {"posterior": posterior, "centers": np.stack(centers),
+            "stds": np.stack(stds), "well_prob_mat": well_prob,
+            "states": np.argmax(posterior, axis=1)}
+
+
 def movement_state_clustering(trajectories_positions: Sequence[Dict],
                               length: int = 5, n_clusters: int = 3,
                               seed: int = 0):
