@@ -364,3 +364,11 @@ def plot_violin_modes(groups: Dict[str, np.ndarray], path: str,
     fig.savefig(path, dpi=300)
     plt.close(fig)
     return path
+
+
+def force_aspect(ax, aspect: float = 1.0) -> None:
+    """Force a plot's display aspect ratio regardless of data ranges
+    (reference plot_scripts/plottings.py forceAspect / B4_temp.py:9-12)."""
+    xmin, xmax = ax.get_xlim()
+    ymin, ymax = ax.get_ylim()
+    ax.set_aspect(abs((xmax - xmin) / (ymax - ymin)) / aspect)

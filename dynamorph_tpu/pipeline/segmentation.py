@@ -149,3 +149,98 @@ def _save_multipage_tiff(stack: np.ndarray, path: str) -> None:
     from ..io.tiff import write_multipage_tiff
 
     write_multipage_tiff(path, stack)
+
+
+def draw_contour_overlay(phase: np.ndarray, seg: np.ndarray,
+                         threshold: float = 30.0,
+                         color=(255, 0, 0)) -> np.ndarray:
+    """Paint the edges of a segmentation map onto a grayscale frame in
+    ``color`` (reference segmentation_validation.py:20-34 ``drawContour`` +
+    :57-63 ``load_and_plot``). ``seg`` is thresholded at ``threshold`` (the
+    reference's ``p > 30`` on 8-bit PNGs); edges are mask pixels with at
+    least one off-mask pixel in their 3x3 neighborhood (PIL FIND_EDGES
+    semantics, numpy-implemented — no PIL dependency)."""
+    mask = np.asarray(seg) > threshold
+    interior = np.ones_like(mask)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            shifted = np.zeros_like(mask)
+            rs = slice(max(dr, 0), mask.shape[0] + min(dr, 0))
+            rd = slice(max(-dr, 0), mask.shape[0] + min(-dr, 0))
+            cs = slice(max(dc, 0), mask.shape[1] + min(dc, 0))
+            cd = slice(max(-dc, 0), mask.shape[1] + min(-dc, 0))
+            shifted[rd, cd] = mask[rs, cs]
+            interior &= shifted
+    edges = mask & ~interior
+    phase = np.asarray(phase)
+    if phase.ndim == 2:
+        rgb = np.stack([phase] * 3, axis=2).astype(np.uint8) \
+            if phase.dtype == np.uint8 else \
+            np.stack([(phase / max(phase.max(), 1e-12) * 255)] * 3,
+                     axis=2).astype(np.uint8)
+    else:
+        rgb = phase.astype(np.uint8).copy()
+    rgb[edges] = np.asarray(color, np.uint8)
+    return rgb
+
+
+def segmentation_validation_contours(raw_folder: str, supp_folder: str,
+                                     val_folder: str, sites: Sequence[str],
+                                     out_size=(1108, 1108)) -> None:
+    """Per-frame contour-overlay validation PNGs: stitch the instance
+    clustering's ``segmentation_<t>.png`` maps back onto the raw phase frames
+    (reference segmentation_validation.py:196-233
+    ``segmentation_validation_bryant``). Writes
+    ``<val_folder>/<site>_<t>.png`` per frame."""
+    import cv2
+
+    os.makedirs(val_folder, exist_ok=True)
+    for site in sites:
+        raw_stack = np.load(os.path.join(raw_folder, f"{site}.npy"))
+        well = site[:2]
+        seg_dir = os.path.join(supp_folder, f"{well}-supps", site)
+        log.info("building full frame validation for %s", site)
+        for t_point in range(len(raw_stack)):
+            seg_path = os.path.join(seg_dir, f"segmentation_{t_point}.png")
+            if not os.path.exists(seg_path):
+                log.warning("missing %s; skipping frame", seg_path)
+                continue
+            seg = cv2.imread(seg_path, cv2.IMREAD_GRAYSCALE)
+            phase = raw_stack[t_point, 0, 0] if raw_stack.ndim == 5 \
+                else raw_stack[t_point, :, :, 0]
+            phase8 = (np.clip(phase / max(phase.max(), 1e-12), 0, 1)
+                      * 255).astype(np.uint8)
+            if out_size:
+                phase8 = cv2.resize(phase8, tuple(out_size))
+                seg = cv2.resize(seg, tuple(out_size),
+                                 interpolation=cv2.INTER_NEAREST)
+            overlay = draw_contour_overlay(phase8, seg)
+            out = os.path.join(val_folder, f"{site}_{t_point}.png")
+            cv2.imwrite(out, overlay[:, :, ::-1])  # RGB -> BGR for cv2
+
+
+def validation_pngs_to_tiff(val_folder: str, site: str,
+                            out_path: str = None) -> str:
+    """Stack a site's per-frame validation PNGs into one multipage TIFF
+    (reference segmentation_validation.py:235-264
+    ``segmentation_validation_to_tiff``)."""
+    import re
+
+    import cv2
+
+    from ..io.tiff import write_multipage_tiff
+
+    pat = re.compile(rf"^{re.escape(site)}_(\d+)\.png$")
+    matched = sorted(
+        (int(m.group(1)), f) for f in os.listdir(val_folder)
+        if (m := pat.match(f)))
+    if not matched:
+        raise ValueError(f"no validation PNGs for site {site} in {val_folder}")
+    frames = [cv2.imread(os.path.join(val_folder, f))[:, :, ::-1]
+              for _, f in matched]
+    stack = np.stack(frames, 0).astype(np.uint16) * 257  # 8-bit -> 16-bit
+    out_path = out_path or os.path.join(val_folder, f"{site}_composite.tif")
+    write_multipage_tiff(out_path, stack)
+    return out_path

@@ -8,6 +8,7 @@ train/steps.py.
 from __future__ import annotations
 
 import collections
+import os
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -180,3 +181,41 @@ def vae_preprocess(dataset: np.ndarray, use_channels=(0, 1),
             out = np.clip(out, clip[0], clip[1])
         output.append(out)
     return np.stack(output, 1)
+
+
+def unzscore(im_norm: np.ndarray, mean, std) -> np.ndarray:
+    """Invert z-score normalisation (reference run_training.py:210-221) —
+    needed before computing image-scale metrics such as SSIM on
+    reconstructions."""
+    return im_norm * (std + np.finfo(float).eps) + mean
+
+
+def prepare_dataset_from_collection(fs: Sequence[str], cs=(0, 1),
+                                    input_shape=(128, 128), file_path="./",
+                                    file_suffix="_all_patches.pkl"):
+    """Load patches from per-site ``<site>_all_patches.pkl`` collections
+    (reference run_training.py:61-96; deprecated input format kept for
+    compatibility with datasets assembled by older reference runs).
+
+    ``fs`` are patch names of the form ``.../<site>/<patch_id>``; returns a
+    float array (N, len(cs), *input_shape) in ``fs`` order.
+    """
+    import pickle
+
+    import cv2
+
+    tensors = {}
+    sites = set(f.split("/")[-2] for f in fs)
+    for site in sites:
+        with open(os.path.join(file_path, f"{site}{file_suffix}"), "rb") as fh:
+            file_dat = pickle.load(fh)
+        for f_n in (f for f in fs if f.split("/")[-2] == site):
+            dat = np.asarray(file_dat[f_n]["masked_mat"], dtype=float)
+            dat = dat[np.arange(dat.shape[0]) if cs is None else np.array(cs)]
+            # cv2.resize over the leading (channel, z) axes, matching the
+            # reference's cv2_fn_wrapper (extract_patches.py:21-37)
+            flat = dat.reshape(-1, *dat.shape[-2:])
+            resized = np.stack(
+                [cv2.resize(m, tuple(input_shape)) for m in flat], 0)
+            tensors[f_n] = resized.reshape(*dat.shape[:-2], *input_shape)
+    return np.stack([tensors[key] for key in fs], 0)

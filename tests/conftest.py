@@ -33,3 +33,29 @@ REFERENCE_DIR = "/root/reference"
 
 def has_reference():
     return os.path.isdir(REFERENCE_DIR)
+
+
+def stub_torchvision():
+    """The reference module chain imports torchvision (absent here); install
+    a minimal stub so reference modules import."""
+    import sys
+    import types
+
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    tv_models = types.ModuleType("torchvision.models")
+    tv_resnet = types.ModuleType("torchvision.models.resnet")
+
+    class _Fake:
+        pass
+
+    tv_resnet.ResNet = type("ResNet", (),
+                            {"__init__": lambda self, *a, **k: None})
+    tv_resnet.BasicBlock = _Fake
+    tv_resnet.Bottleneck = _Fake
+    tv_models.resnet = tv_resnet
+    tv.models = tv_models
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tv_models
+    sys.modules["torchvision.models.resnet"] = tv_resnet

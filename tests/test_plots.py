@@ -108,3 +108,51 @@ def test_plot_joint_kde(rng, tmp_path):
 def test_plot_violin_modes(rng, tmp_path):
     groups = {"slow": rng.rand(80), "fast": rng.rand(80) + 1}
     _ok(plots.plot_violin_modes(groups, str(tmp_path / "violin.png")))
+
+
+def test_force_aspect(tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    ax.plot([0, 10], [0, 1])
+    plots.force_aspect(ax, aspect=1.0)
+    assert ax.get_aspect() == pytest.approx(10.0)
+    plt.close(fig)
+
+
+def test_contour_overlay_and_validation_pngs(tmp_path):
+    from dynamorph_tpu.pipeline.segmentation import (
+        draw_contour_overlay, segmentation_validation_contours,
+        validation_pngs_to_tiff)
+    from dynamorph_tpu.io.tiff import read_multipage_tiff_pages
+
+    # a filled square: only its 1px rim should be painted
+    seg = np.zeros((64, 64), np.uint8)
+    seg[20:40, 20:40] = 255
+    phase = np.full((64, 64), 100, np.uint8)
+    rgb = draw_contour_overlay(phase, seg)
+    assert tuple(rgb[20, 20]) == (255, 0, 0)      # rim corner
+    assert tuple(rgb[30, 30]) == (100, 100, 100)  # interior untouched
+    assert tuple(rgb[0, 0]) == (100, 100, 100)    # background untouched
+
+    # end-to-end: raw stack + segmentation PNGs -> overlay PNGs -> tiff
+    import cv2
+    raw_dir, supp_dir, val_dir = (tmp_path / "raw", tmp_path / "supp",
+                                  tmp_path / "val")
+    site = "B4-Site_0"
+    seg_dir = supp_dir / "B4-supps" / site
+    seg_dir.mkdir(parents=True)
+    raw_dir.mkdir()
+    stack = np.random.RandomState(0).rand(3, 2, 1, 64, 64).astype(np.float32)
+    np.save(raw_dir / f"{site}.npy", stack)
+    for t in range(3):
+        cv2.imwrite(str(seg_dir / f"segmentation_{t}.png"), seg)
+    segmentation_validation_contours(str(raw_dir), str(supp_dir),
+                                     str(val_dir), [site], out_size=(64, 64))
+    for t in range(3):
+        assert (val_dir / f"{site}_{t}.png").exists()
+    out = validation_pngs_to_tiff(str(val_dir), site)
+    pages = read_multipage_tiff_pages(out)
+    assert len(pages) == 3 and pages[0].shape[:2] == (64, 64)

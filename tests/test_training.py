@@ -181,3 +181,49 @@ def test_adam_matches_torch(rng):
         wj = optax.apply_updates(wj, upd)
     np.testing.assert_allclose(np.asarray(wj), wt.detach().numpy(),
                                atol=1e-6, rtol=1e-5)
+
+
+def test_unzscore_roundtrip(rng):
+    x = rng.rand(4, 2, 8, 8).astype(np.float32) * 100
+    mean, std = x.mean(), x.std()
+    norm = (x - mean) / (std + np.finfo(float).eps)
+    back = data_utils.unzscore(norm, mean, std)
+    assert np.allclose(back, x, atol=1e-4)
+
+
+def test_prepare_dataset_from_collection_parity(rng, tmp_path):
+    """Equal to reference run_training.py:61-96 on a synthetic
+    *_all_patches.pkl collection."""
+    import pickle
+    import sys
+
+    from conftest import REFERENCE_DIR, has_reference, stub_torchvision
+    if not has_reference():
+        pytest.skip("reference not available")
+    stub_torchvision()
+    sys.path.insert(0, REFERENCE_DIR)
+    try:
+        from run_training import (
+            prepare_dataset_from_collection as ref_prepare)
+    except Exception as ex:  # reference deps missing
+        pytest.skip(f"reference import failed: {ex}")
+    finally:
+        sys.path.remove(REFERENCE_DIR)
+
+    fs = []
+    for site in ("D5-Site_0", "D5-Site_1"):
+        coll = {}
+        for i in range(3):
+            name = f"/data/{site}/{i}"
+            coll[name] = {"masked_mat": rng.rand(3, 1, 64, 64) * 65535}
+            fs.append(name)
+        with open(tmp_path / f"{site}_all_patches.pkl", "wb") as fh:
+            pickle.dump(coll, fh)
+
+    ours = data_utils.prepare_dataset_from_collection(
+        fs, cs=[0, 1], input_shape=(32, 32), file_path=str(tmp_path))
+    theirs = ref_prepare(fs, cs=[0, 1], input_shape=(32, 32),
+                         file_path=str(tmp_path))
+    theirs = np.asarray(theirs)
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6)
