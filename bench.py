@@ -29,6 +29,9 @@ import time
 import numpy as np
 
 REFERENCE_CPU_PATCHES_PER_SEC = 323.9  # BASELINE.md (measured)
+# First scripted seg-inference measurement (2026-08-16, this bench):
+# direct whole-frame mode, 48.2 ms per 2048x2048 2-channel frame.
+SEG_BASELINE_FRAMES_PER_SEC = 20.75
 # First scripted, reproducible train-step measurement (2026-08-16, this
 # bench): 72.5 ms/step. BASELINE.md's earlier 28,030 patches/s was an ad-hoc
 # round-1 number that a chained scripted measurement does not reproduce.
@@ -93,6 +96,50 @@ def bench_train_step():
     }))
 
 
+def bench_seg_inference():
+    """U-Net direct whole-frame segmentation (the production seg hot path,
+    reference NNsegmentation/data.py:350-482 runs 309 tiled Keras forwards
+    per frame; our direct mode is one fully-convolutional device pass —
+    1.9x faster than even our batched tiled ensemble, see BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from dynamorph_tpu.seg.model import Segment
+
+    model = Segment(input_shape=(2, 256, 256), n_classes=3)
+    predict = model._predict_fn
+    rng = np.random.RandomState(0)
+    x_in = jax.device_put(rng.rand(1, 2, 2048, 2048).astype(np.float32))
+
+    @jax.jit
+    def chained(p, s, x):
+        probs = predict(p, s, x)
+        return x + 1e-12 * jnp.mean(probs), jnp.sum(probs)
+
+    def run(n):
+        x = x_in
+        out = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            x, out = chained(model.params, model.state, x)
+        _ = float(out)
+        return time.perf_counter() - t0
+
+    run(1)  # compile
+    short_iters, long_iters = 3, 12
+    t_short = min(run(short_iters) for _ in range(3))
+    t_long = min(run(long_iters) for _ in range(3))
+    marginal = max((t_long - t_short) / (long_iters - short_iters), 1e-9)
+    frames_per_sec = 1.0 / marginal
+    print(json.dumps({
+        "metric": "unet_direct_seg_frames_per_sec_per_chip",
+        "value": round(frames_per_sec, 2),
+        "unit": "2048x2048 2-ch frames/s (direct mode)",
+        "vs_baseline": round(frames_per_sec / SEG_BASELINE_FRAMES_PER_SEC, 2),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -147,6 +194,9 @@ if __name__ == "__main__":
         bench_train_step()
     elif "--encode-only" in sys.argv:
         main()
+    elif "--seg-only" in sys.argv:
+        bench_seg_inference()
     else:
+        bench_seg_inference()
         bench_train_step()
         main()  # headline metric stays the LAST line
