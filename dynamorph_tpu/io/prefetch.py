@@ -15,21 +15,34 @@ R = TypeVar("R")
 
 
 class Prefetcher:
-    """Iterate ``loader(item)`` results with the next load running ahead in a
-    background thread. Exceptions surface at the failing item's turn."""
+    """Iterate ``loader(item)`` results with up to ``depth`` loads running
+    ahead in background threads. Run-ahead is BOUNDED: item i+depth is only
+    submitted once item i has been yielded, so at most depth+1 results exist
+    at a time (matters when results are device buffers — an unbounded
+    prefetch would stage a whole training epoch in HBM). Exceptions surface
+    at the failing item's turn."""
 
     def __init__(self, items: Iterable[T], loader: Callable[[T], R],
                  depth: int = 1):
         self._items = list(items)
         self._loader = loader
-        self._pool = ThreadPoolExecutor(max_workers=max(depth, 1))
+        self._depth = max(depth, 1)
+        self._pool = ThreadPoolExecutor(max_workers=self._depth)
 
     def __iter__(self) -> Iterator[Tuple[T, R]]:
-        futures = [(item, self._pool.submit(self._loader, item))
-                   for item in self._items]
+        from collections import deque
+
+        pending = deque()
+        it = iter(self._items)
         try:
-            for item, fut in futures:
-                yield item, fut.result()
+            for item in it:
+                pending.append((item, self._pool.submit(self._loader, item)))
+                if len(pending) > self._depth:
+                    done_item, fut = pending.popleft()
+                    yield done_item, fut.result()
+            while pending:
+                done_item, fut = pending.popleft()
+                yield done_item, fut.result()
         finally:
             self._pool.shutdown(wait=False)
 

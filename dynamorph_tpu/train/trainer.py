@@ -10,7 +10,7 @@ previous step runs on device (dispatch is async).
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -146,26 +146,37 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
                           verbose=True)
     history = []
 
+    def load_batch(i_and_ids):
+        """Host batch assembly (relation slice + fancy-index copy) and the
+        host->device transfer enqueue. Runs in a prefetch thread so the next
+        batch's feed overlaps the current device step."""
+        _, bids = i_and_ids
+        if traj_sharded_loss:
+            from . import sharded_loss as SL
+
+            bids = SL.pack_trajectories(bids, traj_ids, n_shards)
+            rel = SL.blockdiag_relations(relation_mat, bids, n_shards)
+        else:
+            rel = data_utils.slice_relation_mat(relation_mat, bids)
+        batch = jnp.asarray(dataset[bids])
+        rel = jnp.asarray(rel) if rel is not None else None
+        bmask = data_utils.slice_mask(mask, bids)
+        bmask = jnp.asarray(bmask) if bmask is not None else None
+        return batch, rel, bmask
+
     def run_epoch(ids, n_b, training, epoch_key):
         nonlocal params, state, opt_state
+        from ..io.prefetch import Prefetcher
+
         # Loss scalars accumulate ON DEVICE (a running sum per key); the only
         # host fetch is one device_get per epoch. A per-batch float() would
         # force a device->host sync every step and serialise the async
         # dispatch pipeline.
         totals = None
-        for i in range(n_b):
-            bids = ids[i * batch_size: (i + 1) * batch_size]
-            if traj_sharded_loss:
-                from . import sharded_loss as SL
-
-                bids = SL.pack_trajectories(bids, traj_ids, n_shards)
-                rel = SL.blockdiag_relations(relation_mat, bids, n_shards)
-            else:
-                rel = data_utils.slice_relation_mat(relation_mat, bids)
-            batch = jnp.asarray(dataset[bids])
-            rel = jnp.asarray(rel) if rel is not None else None
-            bmask = data_utils.slice_mask(mask, bids)
-            bmask = jnp.asarray(bmask) if bmask is not None else None
+        feed = Prefetcher(
+            [(i, ids[i * batch_size: (i + 1) * batch_size])
+             for i in range(n_b)], load_batch, depth=2)
+        for (i, _), (batch, rel, bmask) in feed:
             step_key = jax.random.fold_in(epoch_key, i)
             if training:
                 params, state, opt_state, losses = train_step(

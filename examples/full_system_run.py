@@ -23,8 +23,6 @@ def main(root):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from synthetic_workflow import make_experiment
 
-    import jax
-
     from dynamorph_tpu.config.schema import (LatentEncodingConfig,
                                              PatchConfig, PipelineConfig,
                                              SegmentationInferenceConfig)
@@ -86,7 +84,6 @@ def main(root):
 
     print("== 6. train VQ-VAE with time-matching loss ==")
     from dynamorph_tpu.models import VQVAEz16
-    from dynamorph_tpu.track.relations import generate_trajectory_relations
     from dynamorph_tpu.train import data as du
     from dynamorph_tpu.train.checkpoint import save_checkpoint
     from dynamorph_tpu.train.trainer import train_vqvae

@@ -1,6 +1,5 @@
 """AAE adversarial training loop smoke + gradient-group isolation."""
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

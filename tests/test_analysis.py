@@ -3,7 +3,6 @@ import json
 import os
 
 import numpy as np
-import pytest
 
 from dynamorph_tpu.analysis.trajectory_dynamics import (
     fit_msd_powerlaw, generate_msd_distri, generate_short_traj_collections,

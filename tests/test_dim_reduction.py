@@ -1,5 +1,4 @@
 """PCA parity vs sklearn and dim-reduction pipeline test."""
-import os
 
 import numpy as np
 import pytest

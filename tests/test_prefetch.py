@@ -1,5 +1,4 @@
 """Background prefetcher tests."""
-import threading
 import time
 
 import pytest
@@ -42,3 +41,32 @@ def test_prefetcher_propagates_exceptions():
     assert next(it) == (0, 0)
     with pytest.raises(ValueError, match="boom"):
         next(it)
+
+
+def test_prefetcher_bounded_runahead():
+    """Item i+depth must not start loading before item i is yielded — an
+    unbounded prefetch would stage a whole epoch of device batches in HBM."""
+    import threading
+
+    started = []
+    release = threading.Event()
+
+    def loader(x):
+        started.append(x)
+        if x == 0:
+            release.wait(timeout=5)
+        return x
+
+    pf = Prefetcher(list(range(6)), loader, depth=2)
+    it = iter(pf)
+    # force the pipeline to fill without consuming anything: give the pool a
+    # moment to start whatever it is allowed to start
+    t = threading.Thread(target=lambda: started.append("probe"))
+    t.start(); t.join()
+    time.sleep(0.2)
+    # with depth=2 only items 0 and 1 may have started (0 blocks a worker)
+    assert set(x for x in started if x != "probe") <= {0, 1, 2}, started
+    assert 4 not in started and 5 not in started
+    release.set()
+    out = [item for item, _ in it]
+    assert out == list(range(6))

@@ -1,6 +1,5 @@
 """U-Net segmentation: model shapes/training, data-pipeline parity vs
 reference numpy code, tiled ensemble inference, and the full seg pipeline."""
-import os
 import sys
 
 import numpy as np

@@ -5,7 +5,6 @@ shards; no z_flat all-gather in the compiled program; trainer integration.
 import dataclasses
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

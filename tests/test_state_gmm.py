@@ -2,7 +2,6 @@
 state assignment, reference NOVEMBER_Analysis.ipynb 'GMM' cells) and the
 analysis walkthrough example."""
 import numpy as np
-import pytest
 
 from dynamorph_tpu.analysis.state_clustering import (trajectory_summaries,
                                                      well_conditioned_gmm)

@@ -1,6 +1,5 @@
 """Triplet miners (parity vs reference torch), ResNet/SimCLR encoder, and
 triplet training loop."""
-import os
 import sys
 
 import numpy as np
