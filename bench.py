@@ -147,7 +147,10 @@ def main():
     sys.path.insert(0, ".")
     from dynamorph_tpu.models import VQVAEz16
 
-    batch = 1024
+    # 512 is the measured per-patch throughput sweet spot on v5e (~12%
+    # faster than 1024 — activation working set stays resident; BASELINE.md
+    # batch-size sweep 2026-08-16); encode_patches defaults to the same.
+    batch = 512
     model = VQVAEz16(num_embeddings=64)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
 
