@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from ..nn import functional as F
-from ..ops.vq import vq_lookup, vq_codebook_counts, perplexity_from_counts
+from ..ops.vq import (gather_codes, perplexity_from_counts,
+                      vq_codebook_counts, vq_lookup)
 from . import common
 from .common import nchw_to_nhwc, nhwc_to_nchw
 
@@ -81,7 +82,10 @@ class VQVAEBase:
         sg = jax.lax.stop_gradient
         q_fused, idx = vq_lookup(sg(z), sg(codebook), impl=self.vq_impl)
         if train:
-            quantized = jnp.take(codebook, idx, axis=0)
+            # custom-VJP gather: codebook grads flow as a one-hot MXU matmul
+            # instead of jnp.take's scatter-add (4.6x faster backward at the
+            # z32 production shapes, grads equal to accumulation order)
+            quantized = gather_codes(codebook, idx)
         else:
             quantized = q_fused
         st, c_loss = common.vq_losses(z, quantized, self.commitment_cost)

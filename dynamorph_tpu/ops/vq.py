@@ -153,3 +153,35 @@ def perplexity_from_counts(counts: jax.Array) -> jax.Array:
     """exp(entropy) of codebook usage (reference vae.py:66-69 semantics)."""
     probs = counts / jnp.maximum(jnp.sum(counts), 1.0)
     return jnp.exp(-jnp.sum(probs * jnp.log(probs + 1e-10)))
+
+
+@jax.custom_vjp
+def gather_codes(codebook: jax.Array, indices: jax.Array) -> jax.Array:
+    """Differentiable codebook row gather: (K, D), (N,) -> (N, D).
+
+    Forward is a plain gather. The backward replaces jnp.take's VJP
+    (a scatter-add over N rows — serialised on TPU, 6.2 ms at the z32
+    production shapes) with a one-hot MXU matmul
+    (grad_codebook = onehot(idx)^T @ ct), measured 4.6x faster at HIGHEST
+    precision with grads equal to the scatter to f32 accumulation order
+    (max rel diff ~1e-5; see BASELINE.md).
+    """
+    return jnp.take(codebook, indices, axis=0)
+
+
+def _gather_codes_fwd(codebook, indices):
+    return jnp.take(codebook, indices, axis=0), (indices, codebook.shape[0])
+
+
+def _gather_codes_bwd(res, ct):
+    indices, num_embeddings = res
+    d = ct.shape[-1]
+    onehot = jax.nn.one_hot(indices.reshape(-1), num_embeddings,
+                            dtype=ct.dtype)                           # (N, K)
+    grad_cb = jnp.einsum("nk,nd->kd", onehot, ct.reshape(-1, d),
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+    return grad_cb, None
+
+
+gather_codes.defvjp(_gather_codes_fwd, _gather_codes_bwd)

@@ -68,3 +68,31 @@ def test_codebook_gradient_flows_via_take(rng):
     g = jax.grad(loss_fn)(cb)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_gather_codes_grad_matches_scatter():
+    """The one-hot-matmul custom VJP equals jnp.take's scatter-add VJP
+    (up to f32 accumulation order)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dynamorph_tpu.ops.vq import gather_codes
+
+    rng = np.random.RandomState(3)
+    cb = jnp.asarray(rng.rand(32, 8).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 32, size=(4, 5, 5)).astype(np.int32))
+    g = jnp.asarray(rng.rand(4, 5, 5, 8).astype(np.float32))
+
+    def loss_take(c):
+        return jnp.sum(jnp.take(c, idx, axis=0) * g)
+
+    def loss_gather(c):
+        return jnp.sum(gather_codes(c, idx) * g)
+
+    a = jax.grad(loss_take)(cb)
+    b = jax.grad(loss_gather)(cb)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+    # forward identical
+    np.testing.assert_array_equal(np.asarray(gather_codes(cb, idx)),
+                                  np.asarray(jnp.take(cb, idx, axis=0)))
