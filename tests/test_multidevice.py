@@ -88,3 +88,26 @@ def test_dryrun_multichip_bootstraps_from_pinned_backend():
         timeout=580)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip(8): ok" in proc.stdout
+
+
+def test_sharded_train_step_has_grad_allreduce(rng, model_and_params):
+    """The data-parallel train step must compile to a gradient all-reduce
+    (psum) with params replicated — the core DP collective — and must not
+    fall back to per-batch host transfers."""
+    import optax
+
+    from dynamorph_tpu.train.steps import make_train_step
+
+    model, params, state = model_and_params
+    mesh = make_mesh()
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = make_train_step(model, opt, mesh=mesh, augment=True)
+    batch = jnp.asarray(rng.rand(16, 2, 64, 64).astype(np.float32))
+    rel = jnp.asarray(rng.randint(0, 3, (16, 16)).astype(np.uint8))
+    bmask = jnp.asarray(rng.randint(0, 2, (16, 2, 64, 64)).astype(np.uint8))
+    lowered = step.lower(params, state, opt_state, batch, rel, bmask,
+                         jax.random.PRNGKey(0))
+    hlo = lowered.compile().as_text()
+    assert "all-reduce" in hlo, "no gradient all-reduce in sharded step"
+    assert "outfeed" not in hlo and "infeed" not in hlo
