@@ -71,13 +71,28 @@ def main(config_path: str):
             commitment_cost=tr.commitment_cost,
             weight_matching=tr.weight_matching,
             w_a=tr.w_a, w_t=tr.w_t, w_n=tr.w_n, margin=tr.margin)
+        # Multi-chip: shard the batch over all local devices. With a relation
+        # matrix and a divisible batch, also pack whole trajectories per
+        # shard so the time-matching loss runs block-diagonally with a ring
+        # ppermute instead of an all-gather (documents/6-scaling.md).
+        import jax
+
+        from ..core.mesh import make_mesh
+
+        mesh = None
+        traj_sharded = False
+        if jax.device_count() > 1:
+            mesh = make_mesh()
+            traj_sharded = (relation_mat is not None
+                            and tr.batch_size % mesh.shape["data"] == 0)
         train_vqvae(model, dataset, model_dir,
                     relation_mat=relation_mat, mask=mask,
                     n_epochs=tr.n_epochs, lr=tr.learn_rate,
                     batch_size=tr.batch_size, transform=True,
                     shuffle_data=tr.shuffle_data,
                     val_split_ratio=tr.val_split_ratio,
-                    patience=tr.patience)
+                    patience=tr.patience, mesh=mesh,
+                    traj_sharded_loss=traj_sharded)
     else:
         train_set, train_labels, val_set, val_labels = \
             data_utils.train_val_split(dataset, labels,

@@ -203,6 +203,10 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
             # legacy per-epoch checkpoints (reference vq_vae_supp.py:385)
             save_checkpoint(os.path.join(output_dir, f"model_epoch{epoch}"),
                             {"params": params, "state": state})
+        if not val_losses:
+            # val set rounded down to zero full batches (can happen under
+            # traj_sharded_loss with small datasets): early-stop on train loss
+            val_losses = train_losses
         early(val_losses["total_loss"],
               {"params": params, "state": state, "opt_state": opt_state,
                "epoch": epoch})

@@ -91,3 +91,54 @@ def test_full_chain(tmp_path, rng, tiny_weights):
     executed2 = run_pipeline(raw, supp, ["C5-Site_0"], config, stages=[
         "instance_segmentation", "assemble", "trajectory_matching"])
     assert executed2 == []
+
+
+def test_run_training_cli_uses_mesh(tmp_path, rng):
+    """The training CLI must pick up all local devices (8-dev CPU mesh here)
+    and, with a relation matrix and a divisible batch, use the
+    trajectory-sharded time-matching loss."""
+    import yaml
+
+    from dynamorph_tpu.cli import run_training as cli_train
+
+    raw = tmp_path / "raw"
+    weights = tmp_path / "weights"
+    raw.mkdir()
+    # 16 trajectories of length 2 -> 32 patches
+    n_traj, traj_len = 16, 2
+    n = n_traj * traj_len
+    patches = rng.rand(n, 2, 1, 32, 32).astype(np.float32) * 60000
+    labels = np.repeat(np.arange(n_traj), traj_len)
+    relations = {}
+    for t in range(n_traj):
+        a, b = 2 * t, 2 * t + 1
+        relations[(a, a)] = relations[(b, b)] = 2
+        relations[(a, b)] = relations[(b, a)] = 2
+    from dynamorph_tpu.io.pickles import save_pickle
+
+    save_pickle(patches, str(raw / "im_static_patches.pkl"))
+    save_pickle(labels, str(raw / "im_static_patches_labels.pkl"))
+    save_pickle(relations, str(raw / "im_static_patches_relations.pkl"))
+
+    cfg = {
+        "training": {
+            "network": "VQ_VAE_z16",
+            "raw_dirs": [str(raw)],
+            "supp_dirs": [str(raw)],
+            "weights_dirs": [str(weights)],
+            "num_inputs": 2,
+            "num_hiddens": 8,
+            "num_residual_hiddens": 8,
+            "num_embeddings": 16,
+            "n_epochs": 2,
+            "batch_size": 16,
+            "val_split_ratio": 0.15,
+            "patience": 100,
+        }
+    }
+    cfg_path = tmp_path / "train.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    cli_train.main(str(cfg_path))
+
+    ckpt = weights / "model" / "model_ckpt"
+    assert ckpt.exists()
