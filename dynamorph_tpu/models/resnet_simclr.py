@@ -197,9 +197,22 @@ class EncodeProject:
         return z, losses, ns
 
     def encode_batched(self, params, state, dataset: np.ndarray,
-                       out: str = "z", batch_size: int = 512) -> np.ndarray:
-        """Host loop over jitted batched encode (inference path)."""
+                       out: str = "z", batch_size: int = 512,
+                       mesh=None) -> np.ndarray:
+        """Host loop over jitted batched encode (inference path). With a
+        mesh, batches are sharded over its ``data`` axis (params replicated)."""
         encode = _encode_project_fn(self, out)
+        put = jnp.asarray
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P("data"))
+            batch_size = max(batch_size, mesh.shape["data"])
+            batch_size -= batch_size % mesh.shape["data"]
+
+            def put(b):  # noqa: F811
+                return jax.device_put(jnp.asarray(b), sh)
+
         outs = []
         n = len(dataset)
         for i in range(0, n, batch_size):
@@ -209,7 +222,7 @@ class EncodeProject:
                 batch = np.concatenate(
                     [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
             outs.append(np.asarray(encode(params, state,
-                                          jnp.asarray(batch, jnp.float32))))
+                                          put(batch.astype(np.float32)))))
         return np.concatenate(outs)[:n]
 
 

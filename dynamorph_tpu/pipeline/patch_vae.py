@@ -269,12 +269,19 @@ def process_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
         if le.save_output:
             _save_recon_images(model, params, state, dataset, output_dir)
     elif "ResNet" in le.network:
+        import jax
+
         from ..models.resnet_simclr import EncodeProject
 
         model = EncodeProject(arch=le.network)
         params, state = _load_model_weights(model, model_path)
+        mesh = None
+        if jax.device_count() > 1:
+            from ..core.mesh import make_mesh
+
+            mesh = make_mesh()
         h_s = model.encode_batched(params, state, dataset, out="z",
-                                   batch_size=batch_size)
+                                   batch_size=batch_size, mesh=mesh)
         save_pickle(h_s, os.path.join(output_dir, f"{well}_latent_space.pkl"))
     else:
         raise ValueError(f"Network {le.network} is not available")

@@ -111,3 +111,15 @@ def test_sharded_train_step_has_grad_allreduce(rng, model_and_params):
     hlo = lowered.compile().as_text()
     assert "all-reduce" in hlo, "no gradient all-reduce in sharded step"
     assert "outfeed" not in hlo and "infeed" not in hlo
+
+
+def test_resnet_encode_batched_sharded_matches_single(rng):
+    from dynamorph_tpu.models.resnet_simclr import EncodeProject
+
+    model = EncodeProject(arch="ResNet18", num_inputs=2)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    data = rng.rand(19, 2, 64, 64).astype(np.float32)
+    single = model.encode_batched(params, state, data, out="z", batch_size=8)
+    sharded = model.encode_batched(params, state, data, out="z",
+                                   batch_size=8, mesh=make_mesh())
+    np.testing.assert_allclose(single, sharded, rtol=2e-5, atol=1e-5)
