@@ -137,7 +137,14 @@ def fit_pca(train_data: np.ndarray, weights_dir: str, labels,
     import matplotlib.pyplot as plt
 
     os.makedirs(weights_dir, exist_ok=True)
-    pca = fit_pca_device(train_data, variance_fraction)
+    import jax
+
+    if jax.device_count() > 1:
+        # multi-device hosts: shard the Gram accumulation over the mesh
+        # (equal components up to sign — see fit_pca_distributed)
+        pca = fit_pca_distributed(train_data, variance_fraction)
+    else:
+        pca = fit_pca_device(train_data, variance_fraction)
     pcas = pca.transform(train_data)
     save_pickle(pca, os.path.join(weights_dir, "pca_model.pkl"))
 
