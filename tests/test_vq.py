@@ -28,7 +28,7 @@ def test_vq_xla_matches_bruteforce(rng, n, d, k):
     np.testing.assert_allclose(np.asarray(q), q_ref, atol=1e-6)
 
 
-@pytest.mark.parametrize("n,d,k", [(64, 16, 64), (300, 16, 512), (1025, 64, 128)])
+@pytest.mark.parametrize("n,d,k", [(64, 16, 64), (300, 16, 512), (1025, 64, 128), (512, 64, 512)])
 def test_vq_pallas_matches_xla(rng, n, d, k):
     z = rng.randn(n, d).astype(np.float32)
     cb = rng.randn(k, d).astype(np.float32)
