@@ -20,20 +20,39 @@ from .data import load_input, plot_prediction_prob
 
 
 def _predict_tiles(model, tiles: np.ndarray, batch_bucket: int = 8):
-    """Predict a stack of (C, Z, x, y) tiles in one padded device batch.
+    """Predict a stack of (C, Z, x, y) tiles in one padded device batch;
+    with multiple local devices the tile batch is sharded over the mesh.
 
     Intensities scale to [0, 1] here: the reference's tile path goes through
     ``preprocess`` which divides by CHANNEL_MAX (NNsegmentation/data.py:312,
     :412-425); raw ndarray input to Segment.predict is unscaled by contract.
     """
+    import jax
+
     from ..core.constants import CHANNEL_MAX
 
     n = len(tiles)
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        # bucket must divide the mesh so every shard is equal
+        batch_bucket = max(batch_bucket, n_dev)
+        batch_bucket -= batch_bucket % n_dev
     n_pad = ((n + batch_bucket - 1) // batch_bucket) * batch_bucket
     tiles = tiles.astype(np.float32) / CHANNEL_MAX
     if n_pad != n:
         tiles = np.concatenate(
             [tiles, np.zeros((n_pad - n,) + tiles.shape[1:], tiles.dtype)], 0)
+    if n_dev > 1:
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..core.mesh import make_mesh
+
+        x = tiles.reshape((-1,) + model.input_shape)
+        x = jax.device_put(jnp.asarray(x),
+                           NamedSharding(make_mesh(), P("data")))
+        y = model._predict_fn(model.params, model.state, x)
+        return np.asarray(y)[:n]
     out = model.predict(tiles)     # (n_pad, n_classes, 1, x, y)
     return out[:n]
 
