@@ -16,11 +16,11 @@ R = TypeVar("R")
 
 class Prefetcher:
     """Iterate ``loader(item)`` results with up to ``depth`` loads running
-    ahead in background threads. Run-ahead is BOUNDED: item i+depth is only
-    submitted once item i has been yielded, so at most depth+1 results exist
-    at a time (matters when results are device buffers — an unbounded
-    prefetch would stage a whole training epoch in HBM). Exceptions surface
-    at the failing item's turn."""
+    ahead in background threads. Run-ahead is BOUNDED: at most depth+1 items
+    are submitted beyond the last one yielded (item i+depth+1 waits for item
+    i), so a bounded number of results exist at a time — matters when
+    results are device buffers; an unbounded prefetch would stage a whole
+    training epoch in HBM. Exceptions surface at the failing item's turn."""
 
     def __init__(self, items: Iterable[T], loader: Callable[[T], R],
                  depth: int = 1):

@@ -211,7 +211,8 @@ class EncodeProject:
             batch_size -= batch_size % mesh.shape["data"]
 
             def put(b):  # noqa: F811
-                return jax.device_put(jnp.asarray(b), sh)
+                # numpy -> sharded buffers directly (no device-0 staging)
+                return jax.device_put(b, sh)
 
         outs = []
         n = len(dataset)

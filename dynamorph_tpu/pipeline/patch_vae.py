@@ -252,17 +252,10 @@ def process_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
             model_path = os.path.join(model_path, "model.pt")
         params, state = _load_model_weights(model, model_path)
 
-        # multi-chip hosts: shard encode batches over all local devices
-        import jax
-
-        mesh = None
-        if jax.device_count() > 1:
-            from ..core.mesh import make_mesh
-
-            mesh = make_mesh()
+        # encode_patches auto-meshes over all local devices when mesh=None
         with stage_timer("process_vae_encode", well=well, n=len(dataset)):
             z_b, z_a = encode_patches(model, params, state, dataset,
-                                      batch_size, mesh=mesh)
+                                      batch_size)
         save_pickle(z_b, os.path.join(output_dir, f"{well}_latent_space.pkl"))
         save_pickle(z_a, os.path.join(output_dir,
                                       f"{well}_latent_space_after.pkl"))

@@ -176,12 +176,17 @@ def draw_contour_overlay(phase: np.ndarray, seg: np.ndarray,
     edges = mask & ~interior
     phase = np.asarray(phase)
     if phase.ndim == 2:
-        rgb = np.stack([phase] * 3, axis=2).astype(np.uint8) \
-            if phase.dtype == np.uint8 else \
-            np.stack([(phase / max(phase.max(), 1e-12) * 255)] * 3,
-                     axis=2).astype(np.uint8)
+        if phase.dtype == np.uint8:
+            rgb = np.stack([phase] * 3, axis=2)
+        else:
+            # min-max scale to [0, 255] — float frames may be zscored
+            # (negative values) and must not wrap on the uint8 cast
+            lo, hi = float(phase.min()), float(phase.max())
+            scaled = np.clip((phase - lo) / max(hi - lo, 1e-12) * 255,
+                             0, 255)
+            rgb = np.stack([scaled] * 3, axis=2).astype(np.uint8)
     else:
-        rgb = phase.astype(np.uint8).copy()
+        rgb = np.clip(phase, 0, 255).astype(np.uint8).copy()
     rgb[edges] = np.asarray(color, np.uint8)
     return rgb
 

@@ -40,6 +40,18 @@ class PCAModel:
         return self.transform(X)
 
 
+def _sign_normalize(components: np.ndarray) -> np.ndarray:
+    """Deterministic per-component sign: the max-|value| element of each row
+    is made positive. Applied by BOTH fit paths so saved pca_model.pkl /
+    transformed features are identical regardless of which algorithm (SVD vs
+    sharded-Gram eigh) or host topology produced them — eigenvector signs
+    are otherwise arbitrary."""
+    flips = np.sign(components[np.arange(len(components)),
+                               np.argmax(np.abs(components), axis=1)])
+    flips[flips == 0] = 1.0
+    return components * flips[:, None]
+
+
 def fit_pca_device(train_data: np.ndarray,
                    variance_fraction: float = 0.5) -> PCAModel:
     """Full SVD on device; keep the smallest k with cumulative explained
@@ -59,7 +71,7 @@ def fit_pca_device(train_data: np.ndarray,
     k = int(np.searchsorted(csum, variance_fraction, side="right") + 1)
     k = min(k, len(csum))
     return PCAModel(
-        components=np.asarray(vt)[:k],
+        components=_sign_normalize(np.asarray(vt)[:k]),
         mean=np.asarray(mean),
         explained_variance=np.asarray(explained_variance)[:k],
         explained_variance_ratio=np.asarray(ratio)[:k],
@@ -113,7 +125,8 @@ def fit_pca_distributed(train_data: np.ndarray,
     csum = np.cumsum(ratio)
     k = int(np.searchsorted(csum, variance_fraction, side="right") + 1)
     k = min(k, d)
-    return PCAModel(components=evecs[:k], mean=np.asarray(mean),
+    return PCAModel(components=_sign_normalize(evecs[:k]),
+                    mean=np.asarray(mean),
                     explained_variance=evals[:k],
                     explained_variance_ratio=ratio[:k])
 

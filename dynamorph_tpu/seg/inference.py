@@ -43,13 +43,14 @@ def _predict_tiles(model, tiles: np.ndarray, batch_bucket: int = 8):
         tiles = np.concatenate(
             [tiles, np.zeros((n_pad - n,) + tiles.shape[1:], tiles.dtype)], 0)
     if n_dev > 1:
-        import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..core.mesh import make_mesh
 
-        x = tiles.reshape((-1,) + model.input_shape)
-        x = jax.device_put(jnp.asarray(x),
+        # device_put the numpy array with the sharding directly: each shard
+        # transfers straight to its device (staging via jnp.asarray would
+        # land the whole batch on device 0 first, then reshard)
+        x = jax.device_put(tiles.reshape((-1,) + model.input_shape),
                            NamedSharding(make_mesh(), P("data")))
         y = model._predict_fn(model.params, model.state, x)
         return np.asarray(y)[:n]

@@ -137,6 +137,11 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
         # blocked loss needs full shard chunks: drop trailing partial batches
         train_ids = train_ids[:len(train_ids) - len(train_ids) % batch_size]
         val_ids = val_ids[:len(val_ids) - len(val_ids) % batch_size]
+        if len(train_ids) == 0:
+            raise ValueError(
+                f"traj_sharded_loss requires at least one full batch: "
+                f"dataset of {n} leaves 0 training batches of size "
+                f"{batch_size} after the {val_split_ratio} val split")
     n_batches = int(np.ceil(len(train_ids) / batch_size))
     n_val_batches = int(np.ceil(len(val_ids) / batch_size))
 

@@ -106,3 +106,20 @@ def test_multipage_tiff_roundtrip(tmp_path, rng):
     ok, pages = cv2.imreadmulti(path2, flags=cv2.IMREAD_UNCHANGED)
     assert ok and len(pages) == 2
     np.testing.assert_array_equal(pages[0], gray[0])
+
+
+def test_pca_signs_topology_independent(rng):
+    """Both fit algorithms must produce the SAME component signs (max-|value|
+    element positive), so saved pca_model.pkl artifacts don't flip between
+    single- and multi-device hosts."""
+    from dynamorph_tpu.reduce.pca import fit_pca_device, fit_pca_distributed
+
+    X = (rng.rand(200, 24) @ rng.rand(24, 24)).astype(np.float32)
+    a = fit_pca_device(X, 0.9)
+    b = fit_pca_distributed(X, 0.9)
+    k = min(a.n_components_, b.n_components_)
+    np.testing.assert_allclose(a.components_[:k], b.components_[:k],
+                               atol=1e-3)
+    for comps in (a.components_, b.components_):
+        mx = comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)]
+        assert (mx > 0).all()

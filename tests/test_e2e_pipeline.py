@@ -93,13 +93,24 @@ def test_full_chain(tmp_path, rng, tiny_weights):
     assert executed2 == []
 
 
-def test_run_training_cli_uses_mesh(tmp_path, rng):
+def test_run_training_cli_uses_mesh(tmp_path, rng, monkeypatch):
     """The training CLI must pick up all local devices (8-dev CPU mesh here)
     and, with a relation matrix and a divisible batch, use the
     trajectory-sharded time-matching loss."""
     import yaml
 
     from dynamorph_tpu.cli import run_training as cli_train
+    from dynamorph_tpu.train import trainer as trainer_mod
+
+    seen = {}
+    real_train = trainer_mod.train_vqvae
+
+    def spy(*args, **kwargs):
+        seen["mesh"] = kwargs.get("mesh")
+        seen["traj_sharded_loss"] = kwargs.get("traj_sharded_loss")
+        return real_train(*args, **kwargs)
+
+    monkeypatch.setattr(cli_train, "train_vqvae", spy)
 
     raw = tmp_path / "raw"
     weights = tmp_path / "weights"
@@ -142,3 +153,5 @@ def test_run_training_cli_uses_mesh(tmp_path, rng):
 
     ckpt = weights / "model" / "model_ckpt"
     assert ckpt.exists()
+    assert seen["mesh"] is not None and seen["mesh"].shape["data"] == 8
+    assert seen["traj_sharded_loss"] is True

@@ -44,8 +44,9 @@ def test_prefetcher_propagates_exceptions():
 
 
 def test_prefetcher_bounded_runahead():
-    """Item i+depth must not start loading before item i is yielded — an
-    unbounded prefetch would stage a whole epoch of device batches in HBM."""
+    """While the consumer is blocked on item 0, items beyond the depth
+    window must not even be SUBMITTED — an unbounded prefetch would stage a
+    whole epoch of device batches in HBM."""
     import threading
 
     started = []
@@ -58,15 +59,19 @@ def test_prefetcher_bounded_runahead():
         return x
 
     pf = Prefetcher(list(range(6)), loader, depth=2)
-    it = iter(pf)
-    # force the pipeline to fill without consuming anything: give the pool a
-    # moment to start whatever it is allowed to start
-    t = threading.Thread(target=lambda: started.append("probe"))
-    t.start(); t.join()
-    time.sleep(0.2)
-    # with depth=2 only items 0 and 1 may have started (0 blocks a worker)
-    assert set(x for x in started if x != "probe") <= {0, 1, 2}, started
+    out = []
+
+    def consume():
+        out.extend(item for item, _ in pf)
+
+    t = threading.Thread(target=consume)
+    t.start()
+    time.sleep(0.3)
+    # the consumer is blocked yielding item 0 (loader stalls on `release`),
+    # so at most items 0..depth=2 may have been submitted/started; an
+    # unbounded prefetcher would have started 3, 4, 5 by now
+    assert set(started) <= {0, 1, 2}, started
     assert 4 not in started and 5 not in started
     release.set()
-    out = [item for item, _ in it]
+    t.join(timeout=5)
     assert out == list(range(6))
