@@ -140,3 +140,58 @@ def test_config_run_patch_alias(tmp_path):
     p.write_text("dim_reduction:\n  weights_dirs: '/tmp/w'\n")
     cfg = load_config(str(p))
     assert cfg.dim_reduction.weights_dir == "/tmp/w"
+
+
+def test_morphology_features_match_reference(rng):
+    """get_intensity_profile and extract_features numerically equal the
+    reference cv2_feature implementations. The contour-based functions
+    (get_size/get_angle_apr/get_aspect_ratio_no_rotation) use the cv2 3.x
+    findContours 3-tuple API and CANNOT run on cv2>=4 — the test pins that
+    documented incompatibility (our port is the cv2-4 fix of the same
+    math)."""
+    import sys
+
+    from conftest import REFERENCE_DIR, has_reference
+    if not has_reference():
+        pytest.skip("reference not available")
+    sys.path.insert(0, REFERENCE_DIR)
+    try:
+        from HiddenStateExtractor import cv2_feature as ref
+    except Exception as ex:
+        pytest.skip(f"reference cv2_feature import failed: {ex}")
+    finally:
+        sys.path.remove(REFERENCE_DIR)
+
+    from dynamorph_tpu.analysis.morphology import (extract_features,
+                                                   get_intensity_profile)
+
+    yy, xx = np.mgrid[:128, :128]
+    mask = ((((xx - 64) * 0.8 + (yy - 64) * 0.6) ** 2 / 900
+             + ((xx - 64) * -0.6 + (yy - 64) * 0.8) ** 2 / 250) < 1.0
+            ).astype(float)
+    dat = [(rng.rand(128, 128) * 60000) for _ in range(2)]
+
+    ours_prof = get_intensity_profile(dat, mask)
+    ref_prof = ref.get_intensity_profile(dat, mask)
+    np.testing.assert_allclose(np.asarray(ours_prof, dtype=float),
+                               np.asarray(ref_prof, dtype=float))
+
+    # structured image so KAZE finds keypoints
+    yy2, xx2 = np.mgrid[:128, :128].astype(float)
+    img = np.zeros((128, 128))
+    for cy, cx in [(30, 40), (80, 90), (60, 30), (100, 50)]:
+        img += 200 * np.exp(-(((yy2 - cy) ** 2 + (xx2 - cx) ** 2) / 80))
+    img = img[None]
+    a = extract_features(img, vector_size=8)
+    b = ref.extract_features(img, vector_size=8)
+    if a is None or b is None:
+        # this cv2 build lacks KAZE (removed in cv2 5.x main module); both
+        # implementations must degrade identically (None)
+        assert a is None and b is None
+    else:
+        np.testing.assert_allclose(a, b)
+
+    # the reference's contour functions break on cv2>=4 (3-tuple unpack of
+    # findContours) — this is the incompatibility our port fixes
+    with pytest.raises(Exception):
+        ref.get_size(mask)
