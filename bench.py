@@ -177,9 +177,10 @@ def main():
         return time.perf_counter() - t0
 
     short_iters, long_iters = 10, 60
-    # best-of-3 to reduce relay jitter
-    t_short = min(timed_chain(short_iters) for _ in range(3))
-    t_long = min(timed_chain(long_iters) for _ in range(3))
+    # best-of-5: the relay adds ~±5% run-to-run noise; min over more
+    # repetitions converges on the true marginal cost
+    t_short = min(timed_chain(short_iters) for _ in range(5))
+    t_long = min(timed_chain(long_iters) for _ in range(5))
     marginal = (t_long - t_short) / (long_iters - short_iters)
     marginal = max(marginal, 1e-9)
 
