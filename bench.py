@@ -18,9 +18,9 @@ Output: the HEADLINE metric is the LAST JSON line (the driver's contract);
 a secondary train-step line precedes it so training-path regressions are
 visible in BENCH_r*.json history. vs_baseline on the headline is relative
 to the measured reference throughput on CPU (323.9 patches/s unbatched —
-see BASELINE.md); on the train line it is relative to our own round-1
-measurement (28,030 patches/s, BASELINE.md) so a regression shows as <1.
-Run with --encode-only or --train-only to restrict.
+see BASELINE.md); on the train/seg lines it is relative to our own first
+scripted measurements (constants below) so a regression shows as <1.
+Run with --encode-only / --train-only / --seg-only to restrict.
 """
 import json
 import sys
