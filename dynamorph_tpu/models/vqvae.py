@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..nn import functional as F
 from ..ops.vq import (gather_codes, perplexity_from_counts,
-                      vq_codebook_counts, vq_lookup)
+                      vq_codebook_counts, vq_indices, vq_lookup)
 from . import common
 from .common import nchw_to_nhwc, nhwc_to_nchw
 
@@ -75,19 +75,21 @@ class VQVAEBase:
         inference we use the fused kernel output directly.
         """
         codebook = params["vq"]["codebook"]
-        # The fused lookup kernel has no autodiff rule and none is needed:
-        # argmin indices carry no gradient. Call it on stop_gradient inputs so
-        # linearization never touches it; codebook gradients flow through the
-        # differentiable re-gather below (scatter-add into selected rows).
+        # The lookup kernels have no autodiff rule and none is needed:
+        # argmin indices carry no gradient. Call them on stop_gradient inputs
+        # so linearization never touches them; codebook gradients flow through
+        # the differentiable re-gather below.
         sg = jax.lax.stop_gradient
-        q_fused, idx = vq_lookup(sg(z), sg(codebook), impl=self.vq_impl)
         if train:
-            # custom-VJP gather: codebook grads flow as a one-hot MXU matmul
-            # instead of jnp.take's scatter-add (4.6x faster backward at the
-            # z32 production shapes, grads equal to accumulation order)
+            # indices-only kernel (skips the gather matmul + (N, D) output
+            # the training path would discard), then a custom-VJP gather:
+            # codebook grads flow as a one-hot MXU matmul instead of
+            # jnp.take's scatter-add (4.6x faster backward at the z32
+            # production shapes, grads equal to accumulation order)
+            idx = vq_indices(sg(z), sg(codebook), impl=self.vq_impl)
             quantized = gather_codes(codebook, idx)
         else:
-            quantized = q_fused
+            quantized, idx = vq_lookup(sg(z), sg(codebook), impl=self.vq_impl)
         st, c_loss = common.vq_losses(z, quantized, self.commitment_cost)
         counts = vq_codebook_counts(idx, self.num_embeddings)
         perplexity = perplexity_from_counts(counts)

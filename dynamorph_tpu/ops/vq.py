@@ -143,10 +143,84 @@ def vq_lookup(z: jax.Array, codebook: jax.Array, impl: str = "auto"):
     return q.reshape(*lead, d), idx.reshape(lead)
 
 
+def _vq_kernel_idx(z_ref, eT_ref, e2_ref, idx_ref):
+    """Indices-only tile: dist = -2 z@E^T + ||E||^2; argmin. Same distance
+    math and tie-breaking as _vq_kernel, but skips the one-hot gather matmul
+    and the (N, D) quantized output write — the training path re-gathers
+    differentiably anyway (models/vqvae.py _vq)."""
+    dots = jnp.dot(z_ref[...], eT_ref[...],
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    dist = e2_ref[...] - 2.0 * dots
+    idx_ref[...] = jnp.argmin(dist, axis=-1)[:, None].astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n",))
+def _vq_pallas_idx(z_flat: jax.Array, codebook: jax.Array,
+                   tile_n: int = 1024):
+    n, d = z_flat.shape
+    k = codebook.shape[0]
+    d_pad = _round_up(d, 128)
+    k_pad = _round_up(k, 128)
+    n_pad = _round_up(max(n, 8), tile_n)
+    zp = jnp.zeros((n_pad, d_pad), z_flat.dtype).at[:n, :d].set(z_flat)
+    ep = jnp.zeros((k_pad, d_pad), codebook.dtype).at[:k, :d].set(codebook)
+    e2 = jnp.sum(ep * ep, axis=-1)
+    e2 = jnp.where(jnp.arange(k_pad) >= k, jnp.inf, e2)[None, :]
+
+    idx = pl.pallas_call(
+        _vq_kernel_idx,
+        grid=(n_pad // tile_n,),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * d_pad * k_pad,
+            bytes_accessed=4 * (n_pad * d_pad + d_pad * k_pad + n_pad),
+            transcendentals=0,
+        ),
+    )(zp, ep.T, e2)
+    return idx[:n, 0]
+
+
+def _vq_xla_idx(z_flat: jax.Array, codebook: jax.Array):
+    e2 = jnp.sum(codebook * codebook, axis=-1)
+    dots = jnp.dot(z_flat, codebook.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.argmin(e2 - 2.0 * dots, axis=-1).astype(jnp.int32)
+
+
+def vq_indices(z: jax.Array, codebook: jax.Array,
+               impl: str = "auto") -> jax.Array:
+    """Nearest-codebook INDICES only — identical argmin (incl. tie-breaking)
+    to vq_lookup, without computing or writing the quantized values. Used by
+    the training path, which re-gathers rows differentiably."""
+    lead = z.shape[:-1]
+    z_flat = z.reshape(-1, z.shape[-1])
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        idx = _vq_pallas_idx(z_flat, codebook)
+    else:
+        idx = _vq_xla_idx(z_flat, codebook)
+    return idx.reshape(lead)
+
+
 def vq_codebook_counts(indices: jax.Array, num_embeddings: int) -> jax.Array:
-    """Histogram of codebook usage (for perplexity monitoring)."""
-    onehot = jax.nn.one_hot(indices.reshape(-1), num_embeddings, dtype=jnp.float32)
-    return jnp.sum(onehot, axis=0)
+    """Histogram of codebook usage (for perplexity monitoring).
+
+    int8 one-hot with int32 accumulation: exact integer counts at 4x less
+    HBM traffic than an f32 one-hot (the (N, K) one-hot is 1.6 GB at the
+    z32 production shapes)."""
+    onehot = jax.nn.one_hot(indices.reshape(-1), num_embeddings,
+                            dtype=jnp.int8)
+    return jnp.sum(onehot.astype(jnp.int32), axis=0).astype(jnp.float32)
 
 
 def perplexity_from_counts(counts: jax.Array) -> jax.Array:

@@ -96,3 +96,28 @@ def test_gather_codes_grad_matches_scatter():
     # forward identical
     np.testing.assert_array_equal(np.asarray(gather_codes(cb, idx)),
                                   np.asarray(jnp.take(cb, idx, axis=0)))
+
+
+@pytest.mark.parametrize("n,d,k", [(64, 16, 64), (300, 16, 512),
+                                   (512, 64, 512)])
+def test_vq_indices_matches_lookup(rng, n, d, k):
+    """The indices-only kernels (both impls) return exactly vq_lookup's
+    argmin, including tie-breaking."""
+    from dynamorph_tpu.ops.vq import vq_indices
+
+    z = jnp.asarray(rng.rand(n, d).astype(np.float32))
+    cb = jnp.asarray(rng.rand(k, d).astype(np.float32))
+    _, idx_ref = vq_lookup(z, cb, impl="xla")
+    for impl in ("xla", "pallas"):
+        idx = vq_indices(z, cb, impl=impl)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+
+
+def test_codebook_counts_exact(rng):
+    """int8-one-hot counts are exact integers equal to a numpy histogram."""
+    from dynamorph_tpu.ops.vq import vq_codebook_counts
+
+    idx = rng.randint(0, 32, size=(7, 9)).astype(np.int32)
+    counts = np.asarray(vq_codebook_counts(jnp.asarray(idx), 32))
+    expect = np.bincount(idx.reshape(-1), minlength=32).astype(np.float32)
+    np.testing.assert_array_equal(counts, expect)
