@@ -188,8 +188,9 @@ def batch_norm1d(params, state, x, train: bool, momentum: float = 0.1,
     ``params`` may omit "offset" (reference BatchNorm1dNoBias,
     HiddenStateExtractor/resnet.py:65-68 — bias frozen at zero)."""
     if train:
+        # one-pass batch statistics (see batch_norm)
         mean = jnp.mean(x, axis=0)
-        var = jnp.var(x, axis=0)
+        var = jnp.maximum(jnp.mean(x * x, axis=0) - mean * mean, 0.0)
         n = x.shape[0]
         unbiased = var * (n / max(n - 1, 1))
         new_state = {
