@@ -143,21 +143,25 @@ def vq_lookup(z: jax.Array, codebook: jax.Array, impl: str = "auto"):
     return q.reshape(*lead, d), idx.reshape(lead)
 
 
-def _vq_kernel_idx(z_ref, eT_ref, e2_ref, idx_ref):
-    """Indices-only tile: dist = -2 z@E^T + ||E||^2; argmin. Same distance
-    math and tie-breaking as _vq_kernel, but skips the one-hot gather matmul
-    and the (N, D) quantized output write — the training path re-gathers
-    differentiably anyway (models/vqvae.py _vq)."""
-    dots = jnp.dot(z_ref[...], eT_ref[...],
-                   preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
-    dist = e2_ref[...] - 2.0 * dots
-    idx_ref[...] = jnp.argmin(dist, axis=-1)[:, None].astype(jnp.int32)
+def _make_vq_kernel_idx(precision):
+    def _vq_kernel_idx(z_ref, eT_ref, e2_ref, idx_ref):
+        """Indices-only tile: dist = -2 z@E^T + ||E||^2; argmin. Same
+        distance math and tie-breaking as _vq_kernel, but skips the one-hot
+        gather matmul and the (N, D) quantized output write — the training
+        path re-gathers differentiably anyway (models/vqvae.py _vq)."""
+        dots = jnp.dot(z_ref[...], eT_ref[...],
+                       preferred_element_type=jnp.float32,
+                       precision=precision)
+        dist = e2_ref[...] - 2.0 * dots
+        idx_ref[...] = jnp.argmin(dist, axis=-1)[:, None].astype(jnp.int32)
+
+    return _vq_kernel_idx
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n",))
+@functools.partial(jax.jit, static_argnames=("tile_n", "precision"))
 def _vq_pallas_idx(z_flat: jax.Array, codebook: jax.Array,
-                   tile_n: int = 1024):
+                   tile_n: int = 1024,
+                   precision=jax.lax.Precision.HIGHEST):
     n, d = z_flat.shape
     k = codebook.shape[0]
     d_pad = _round_up(d, 128)
@@ -169,7 +173,7 @@ def _vq_pallas_idx(z_flat: jax.Array, codebook: jax.Array,
     e2 = jnp.where(jnp.arange(k_pad) >= k, jnp.inf, e2)[None, :]
 
     idx = pl.pallas_call(
-        _vq_kernel_idx,
+        _make_vq_kernel_idx(precision),
         grid=(n_pad // tile_n,),
         interpret=jax.default_backend() != "tpu",
         in_specs=[
@@ -189,26 +193,46 @@ def _vq_pallas_idx(z_flat: jax.Array, codebook: jax.Array,
     return idx[:n, 0]
 
 
-def _vq_xla_idx(z_flat: jax.Array, codebook: jax.Array):
+def _vq_xla_idx(z_flat: jax.Array, codebook: jax.Array,
+                precision=jax.lax.Precision.HIGHEST):
     e2 = jnp.sum(codebook * codebook, axis=-1)
     dots = jnp.dot(z_flat, codebook.T, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=precision)
     return jnp.argmin(e2 - 2.0 * dots, axis=-1).astype(jnp.int32)
 
 
-def vq_indices(z: jax.Array, codebook: jax.Array,
-               impl: str = "auto") -> jax.Array:
-    """Nearest-codebook INDICES only — identical argmin (incl. tie-breaking)
-    to vq_lookup, without computing or writing the quantized values. Used by
-    the training path, which re-gathers rows differentiably."""
+PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def vq_indices(z: jax.Array, codebook: jax.Array, impl: str = "auto",
+               precision: str = "highest") -> jax.Array:
+    """Nearest-codebook INDICES only — same distance math and tie-breaking
+    as vq_lookup, without computing or writing the quantized values. Used by
+    the training path, which re-gathers rows differentiably.
+
+    precision: MXU passes for the distance matmul. "highest" (6-pass f32,
+    default) matches f64 argmin exactly; "high" (3-pass) is ~1.5x faster
+    and measured to flip only 0.006% of assignments (true near-ties) at the
+    z32 production shapes; "default" (1-pass bf16) flips 1.2% — rejected
+    for training (see BASELINE.md)."""
     lead = z.shape[:-1]
     z_flat = z.reshape(-1, z.shape[-1])
+    prec = PRECISIONS[precision]
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas" and prec == jax.lax.Precision.HIGH:
+        # Mosaic's dot lowering supports only DEFAULT/HIGHEST; the XLA
+        # argmin at HIGH is faster than the Pallas kernel at HIGHEST anyway
+        # (3.5 vs 5.4 ms at the z32 production shapes)
+        impl = "xla"
     if impl == "pallas":
-        idx = _vq_pallas_idx(z_flat, codebook)
+        idx = _vq_pallas_idx(z_flat, codebook, precision=prec)
     else:
-        idx = _vq_xla_idx(z_flat, codebook)
+        idx = _vq_xla_idx(z_flat, codebook, precision=prec)
     return idx.reshape(lead)
 
 
