@@ -66,11 +66,10 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
 
     def step(params, state, opt_state, batch, rel, mask, key):
         # relation blocks / masks arrive as uint8 (4x less host->device
-        # traffic); compute in float32
+        # traffic); compute in float32. The mask stays uint8 THROUGH the
+        # augmentation (flips/rot90 shuffle 4x fewer bytes) and casts after.
         if rel is not None:
             rel = rel.astype(jnp.float32)
-        if mask is not None:
-            mask = mask.astype(jnp.float32)
         if mesh is not None:
             data_sh = NamedSharding(mesh, P("data"))
             rep = NamedSharding(mesh, P())
@@ -81,6 +80,8 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
         if augment:
             k_aug, key = jax.random.split(key)
             batch, mask = augment_batch(k_aug, batch, mask)
+        if mask is not None:
+            mask = mask.astype(jnp.float32)
         (_, (losses, new_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, state, batch, rel, mask, key)
         updates, opt_state = optimizer.update(grads, opt_state, params)
