@@ -211,6 +211,10 @@ if __name__ == "__main__":
         # secondary metric as the final line.
         t0 = time.time()
         headline = main()
+        # emit immediately so a kill during a secondary bench can never
+        # discard the measured headline (it stays the last printed line in
+        # that case too); re-emitted last on normal completion
+        _emit(headline)
         secondaries = []
         if time.time() - t0 < 330:
             secondaries.append(bench_seg_inference())

@@ -76,9 +76,10 @@ class VQVAEBase:
     def _vq(self, params, z, train: bool):
         """Codebook lookup + straight-through + commitment loss + perplexity.
 
-        In training, quantized must be differentiable w.r.t. the codebook, so
-        we re-gather by index with jnp.take (grads scatter-add into rows); in
-        inference we use the fused kernel output directly.
+        In training, quantized must be differentiable w.r.t. the codebook:
+        indices come from the argmin-only kernel and rows are re-gathered
+        with gather_codes (custom VJP — codebook grads via a one-hot MXU
+        matmul). Inference uses the fused lookup kernel output directly.
         """
         codebook = params["vq"]["codebook"]
         # The lookup kernels have no autodiff rule and none is needed:

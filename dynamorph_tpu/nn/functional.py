@@ -188,9 +188,11 @@ def batch_norm1d(params, state, x, train: bool, momentum: float = 0.1,
     ``params`` may omit "offset" (reference BatchNorm1dNoBias,
     HiddenStateExtractor/resnet.py:65-68 — bias frozen at zero)."""
     if train:
-        # one-pass batch statistics (see batch_norm)
+        # two-pass jnp.var here (unlike batch_norm): projection-head
+        # features are not bounded like conv activations, so the one-pass
+        # E[x^2]-E[x]^2 cancellation is not safe; this path is not hot
         mean = jnp.mean(x, axis=0)
-        var = jnp.maximum(jnp.mean(x * x, axis=0) - mean * mean, 0.0)
+        var = jnp.var(x, axis=0)
         n = x.shape[0]
         unbiased = var * (n / max(n - 1, 1))
         new_state = {

@@ -49,6 +49,22 @@ def _vq_xla(z_flat: jax.Array, codebook: jax.Array):
 # Pallas fused kernel
 # ---------------------------------------------------------------------------
 
+def _pad_for_vq(z_flat: jax.Array, codebook: jax.Array, tile_n: int):
+    """Shared tiling/padding for both VQ kernels: lanes = 128, N to the tile
+    size. Padded codebook rows get +inf norm so they never win the argmin;
+    their embedding values are zero so D-padding does not perturb dots."""
+    n, d = z_flat.shape
+    k = codebook.shape[0]
+    d_pad = _round_up(d, 128)
+    k_pad = _round_up(k, 128)
+    n_pad = _round_up(max(n, 8), tile_n)
+    zp = jnp.zeros((n_pad, d_pad), z_flat.dtype).at[:n, :d].set(z_flat)
+    ep = jnp.zeros((k_pad, d_pad), codebook.dtype).at[:k, :d].set(codebook)
+    e2 = jnp.sum(ep * ep, axis=-1)
+    e2 = jnp.where(jnp.arange(k_pad) >= k, jnp.inf, e2)[None, :]      # (1, K)
+    return zp, ep, e2, n_pad, d_pad, k_pad
+
+
 def _vq_kernel(z_ref, eT_ref, e2_ref, q_ref, idx_ref):
     """One N-tile: dist = -2 z@E^T + ||E||^2; argmin; q = onehot @ E^T^T.
 
@@ -76,17 +92,7 @@ def _vq_kernel(z_ref, eT_ref, e2_ref, q_ref, idx_ref):
 @functools.partial(jax.jit, static_argnames=("tile_n",))
 def _vq_pallas(z_flat: jax.Array, codebook: jax.Array, tile_n: int = 1024):
     n, d = z_flat.shape
-    k = codebook.shape[0]
-    # Pad to TPU tiling: lanes = 128, and N to the tile size.
-    d_pad = _round_up(d, 128)
-    k_pad = _round_up(k, 128)
-    n_pad = _round_up(max(n, 8), tile_n)
-    zp = jnp.zeros((n_pad, d_pad), z_flat.dtype).at[:n, :d].set(z_flat)
-    # Padded codebook rows get +inf norm so they never win the argmin;
-    # their embedding values are zero so D-padding does not perturb dots.
-    ep = jnp.zeros((k_pad, d_pad), codebook.dtype).at[:k, :d].set(codebook)
-    e2 = jnp.sum(ep * ep, axis=-1)
-    e2 = jnp.where(jnp.arange(k_pad) >= k, jnp.inf, e2)[None, :]      # (1, K)
+    zp, ep, e2, n_pad, d_pad, k_pad = _pad_for_vq(z_flat, codebook, tile_n)
 
     grid = (n_pad // tile_n,)
     q, idx = pl.pallas_call(
@@ -163,14 +169,7 @@ def _vq_pallas_idx(z_flat: jax.Array, codebook: jax.Array,
                    tile_n: int = 1024,
                    precision=jax.lax.Precision.HIGHEST):
     n, d = z_flat.shape
-    k = codebook.shape[0]
-    d_pad = _round_up(d, 128)
-    k_pad = _round_up(k, 128)
-    n_pad = _round_up(max(n, 8), tile_n)
-    zp = jnp.zeros((n_pad, d_pad), z_flat.dtype).at[:n, :d].set(z_flat)
-    ep = jnp.zeros((k_pad, d_pad), codebook.dtype).at[:k, :d].set(codebook)
-    e2 = jnp.sum(ep * ep, axis=-1)
-    e2 = jnp.where(jnp.arange(k_pad) >= k, jnp.inf, e2)[None, :]
+    zp, ep, e2, n_pad, d_pad, k_pad = _pad_for_vq(z_flat, codebook, tile_n)
 
     idx = pl.pallas_call(
         _make_vq_kernel_idx(precision),
