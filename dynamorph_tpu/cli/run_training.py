@@ -62,7 +62,12 @@ def main(config_path: str):
             dataset, relations, seed=123)
         labels = labels[np.asarray(order)]
         model_cls = get_model_cls(tr.network)
-        model = model_cls(
+        import dataclasses as _dc
+
+        # VQ-only knobs (num_embeddings, commitment_cost, vq_train_precision)
+        # are filtered by the target dataclass's fields so the VAE/IWAE/AAE
+        # networks construct cleanly from the same config section.
+        model_kwargs = dict(
             num_inputs=tr.num_inputs,
             num_hiddens=tr.num_hiddens,
             num_residual_hiddens=tr.num_residual_hiddens,
@@ -70,7 +75,11 @@ def main(config_path: str):
             num_embeddings=tr.num_embeddings,
             commitment_cost=tr.commitment_cost,
             weight_matching=tr.weight_matching,
-            w_a=tr.w_a, w_t=tr.w_t, w_n=tr.w_n, margin=tr.margin)
+            w_a=tr.w_a, w_t=tr.w_t, w_n=tr.w_n, margin=tr.margin,
+            vq_train_precision=tr.vq_train_precision)
+        accepted = {f.name for f in _dc.fields(model_cls)}
+        model = model_cls(
+            **{k: v for k, v in model_kwargs.items() if k in accepted})
         # Multi-chip: shard the batch over all local devices. With a relation
         # matrix and a divisible batch, also pack whole trajectories per
         # shard so the time-matching loss runs block-diagonally with a ring
@@ -85,6 +94,17 @@ def main(config_path: str):
             mesh = make_mesh()
             traj_sharded = (relation_mat is not None
                             and tr.batch_size % mesh.shape["data"] == 0)
+        # Resume semantics mirror the ResNet branch (reference
+        # run_training.py:938-947): start_model_path seeds initial weights;
+        # retrain=False lets an interrupted run continue from the output
+        # dir's checkpoint (with optimizer moments + epoch); retrain=True
+        # forces a fresh optimizer/epoch even if a checkpoint exists.
+        params = state = None
+        if tr.start_model_path:
+            from ..train.checkpoint import restore_checkpoint
+
+            ck = restore_checkpoint(tr.start_model_path)
+            params, state = ck["params"], ck["state"]
         train_vqvae(model, dataset, model_dir,
                     relation_mat=relation_mat, mask=mask,
                     n_epochs=tr.n_epochs, lr=tr.learn_rate,
@@ -92,7 +112,9 @@ def main(config_path: str):
                     shuffle_data=tr.shuffle_data,
                     val_split_ratio=tr.val_split_ratio,
                     patience=tr.patience, mesh=mesh,
-                    traj_sharded_loss=traj_sharded)
+                    traj_sharded_loss=traj_sharded,
+                    params=params, state=state,
+                    resume=not tr.retrain)
     else:
         train_set, train_labels, val_set, val_labels = \
             data_utils.train_val_split(dataset, labels,

@@ -125,6 +125,12 @@ class TrainingConfig:
     earlystop_metric: str = "total_loss"
     model_name: str = "model"
     use_mask: bool = False
+    # Codebook-argmin matmul precision for the TRAINING path of VQ models:
+    # "high" (default, ~1.5x faster) flips ~0.006% of assignments vs exact;
+    # "highest" restores bit-exact torch-reference assignments. Inference
+    # always uses "highest". See BASELINE.md "Training argmin at
+    # Precision.HIGH" for the measurement.
+    vq_train_precision: str = "high"
 
 
 @dataclasses.dataclass

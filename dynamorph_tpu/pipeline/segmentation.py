@@ -215,7 +215,11 @@ def segmentation_validation_contours(raw_folder: str, supp_folder: str,
             seg = cv2.imread(seg_path, cv2.IMREAD_GRAYSCALE)
             phase = raw_stack[t_point, 0, 0] if raw_stack.ndim == 5 \
                 else raw_stack[t_point, :, :, 0]
-            phase8 = (np.clip(phase / max(phase.max(), 1e-12), 0, 1)
+            # min-max scale (same as draw_contour_overlay's float branch):
+            # divide-by-max alone collapses zscored/negative-valued frames
+            # to black and degenerates entirely when max <= 0
+            lo, hi = float(phase.min()), float(phase.max())
+            phase8 = (np.clip((phase - lo) / max(hi - lo, 1e-12), 0, 1)
                       * 255).astype(np.uint8)
             if out_size:
                 phase8 = cv2.resize(phase8, tuple(out_size))

@@ -210,7 +210,15 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
                             {"params": params, "state": state})
         if not val_losses:
             # val set rounded down to zero full batches (can happen under
-            # traj_sharded_loss with small datasets): early-stop on train loss
+            # traj_sharded_loss with small datasets): early-stop on train
+            # loss. Warn once — train loss rarely plateaus, so patience is
+            # much less likely to trigger and runs tend to go full n_epochs.
+            if epoch == start_epoch:
+                import warnings
+                warnings.warn(
+                    "validation split has zero full batches; early stopping "
+                    "will monitor the TRAIN loss (patience may never "
+                    "trigger — consider more data or a smaller batch_size)")
             val_losses = train_losses
         early(val_losses["total_loss"],
               {"params": params, "state": state, "opt_state": opt_state,

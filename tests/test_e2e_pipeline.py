@@ -155,3 +155,120 @@ def test_run_training_cli_uses_mesh(tmp_path, rng, monkeypatch):
     assert ckpt.exists()
     assert seen["mesh"] is not None and seen["mesh"].shape["data"] == 8
     assert seen["traj_sharded_loss"] is True
+
+
+def _write_training_pickles(raw, rng, n_traj=16, traj_len=2):
+    """Tiny trajectory dataset in the reference pickle format
+    (run_training.py:786-805 load contract)."""
+    from dynamorph_tpu.io.pickles import save_pickle
+
+    n = n_traj * traj_len
+    patches = rng.rand(n, 2, 1, 32, 32).astype(np.float32) * 60000
+    labels = np.repeat(np.arange(n_traj), traj_len)
+    relations = {}
+    for t in range(n_traj):
+        a, b = traj_len * t, traj_len * t + 1
+        relations[(a, a)] = relations[(b, b)] = 2
+        relations[(a, b)] = relations[(b, a)] = 2
+    save_pickle(patches, str(raw / "im_static_patches.pkl"))
+    save_pickle(labels, str(raw / "im_static_patches_labels.pkl"))
+    save_pickle(relations, str(raw / "im_static_patches_relations.pkl"))
+
+
+def test_run_training_cli_vqvae_resume(tmp_path, rng, monkeypatch):
+    """With retrain=False (the default) an interrupted VQ-VAE CLI run
+    continues from the output dir's checkpoint — restored optimizer moments
+    and the right start epoch (reference only has this for the ResNet
+    branch, run_training.py:938-947; VERDICT r2 item 6)."""
+    import yaml
+
+    from dynamorph_tpu.cli import run_training as cli_train
+    from dynamorph_tpu.train import trainer as trainer_mod
+
+    raw = tmp_path / "raw"
+    weights = tmp_path / "weights"
+    raw.mkdir()
+    _write_training_pickles(raw, rng)
+
+    histories, seen = [], {}
+    real_train = trainer_mod.train_vqvae
+
+    def spy(*args, **kwargs):
+        seen["resume"] = kwargs.get("resume")
+        out = real_train(*args, **kwargs)
+        histories.append(out[2])
+        return out
+
+    monkeypatch.setattr(cli_train, "train_vqvae", spy)
+
+    def cfg_with(n_epochs, retrain=False):
+        cfg = {"training": {
+            "network": "VQ_VAE_z16",
+            "raw_dirs": [str(raw)], "supp_dirs": [str(raw)],
+            "weights_dirs": [str(weights)],
+            "num_inputs": 2, "num_hiddens": 8, "num_residual_hiddens": 8,
+            "num_embeddings": 16, "n_epochs": n_epochs, "batch_size": 16,
+            "val_split_ratio": 0.15, "patience": 100, "retrain": retrain,
+        }}
+        p = tmp_path / f"train_{n_epochs}_{retrain}.yml"
+        p.write_text(yaml.safe_dump(cfg))
+        return str(p)
+
+    cli_train.main(cfg_with(2))
+    assert seen["resume"] is True  # no checkpoint yet -> fresh start
+    assert [r["epoch"] for r in histories[0]] == [0, 1]
+
+    # "interrupted" run continued with a higher epoch budget: picks up from
+    # the best checkpoint's epoch (not from 0), ends at n_epochs-1
+    cli_train.main(cfg_with(4))
+    epochs2 = [r["epoch"] for r in histories[1]]
+    assert epochs2[0] >= 1 and epochs2[-1] == 3
+
+    # retrain=True forces a fresh optimizer/epoch even with a checkpoint
+    cli_train.main(cfg_with(3, retrain=True))
+    assert seen["resume"] is False
+    assert [r["epoch"] for r in histories[2]] == [0, 1, 2]
+
+
+def test_run_training_cli_vae_network_and_precision(tmp_path, rng,
+                                                    monkeypatch):
+    """The CLI's model construction filters VQ-only kwargs so `network: VAE`
+    builds (the reference dispatches getattr-style and VAE ignores extras,
+    run_training.py:885-897), and vq_train_precision plumbs from YAML into
+    the VQ model dataclass (ADVICE r2)."""
+    import yaml
+
+    from dynamorph_tpu.cli import run_training as cli_train
+    from dynamorph_tpu.train import trainer as trainer_mod
+
+    raw = tmp_path / "raw"
+    weights = tmp_path / "weights"
+    raw.mkdir()
+    _write_training_pickles(raw, rng, n_traj=4)
+
+    models = []
+
+    def spy(model, *args, **kwargs):
+        models.append(model)
+        # skip actual training: return a shaped triple
+        return None, None, []
+
+    monkeypatch.setattr(cli_train, "train_vqvae", spy)
+
+    base = {
+        "raw_dirs": [str(raw)], "supp_dirs": [str(raw)],
+        "weights_dirs": [str(weights)],
+        "num_inputs": 2, "num_hiddens": 8, "num_residual_hiddens": 8,
+        "num_embeddings": 16, "n_epochs": 1, "batch_size": 8,
+    }
+    for i, extra in enumerate([
+            {"network": "VAE"},
+            {"network": "VQ_VAE_z32", "vq_train_precision": "highest"}]):
+        p = tmp_path / f"cfg{i}.yml"
+        p.write_text(yaml.safe_dump({"training": {**base, **extra}}))
+        cli_train.main(str(p))
+
+    from dynamorph_tpu.models.vae import VAEModel
+
+    assert isinstance(models[0], VAEModel)
+    assert models[1].vq_train_precision == "highest"
