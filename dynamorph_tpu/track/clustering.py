@@ -58,17 +58,33 @@ def instance_clustering(cell_segmentation: np.ndarray,
     (dynamorph_tpu/native/grid_dbscan.cpp, ~9x faster than sklearn at frame
     scale with IDENTICAL labels); sklearn is the automatic fallback.
     """
-    from ..native.dbscan import grid_dbscan
-
     cell_segmentation = check_segmentation_dim(cell_segmentation)
     all_cells = np.mean(cell_segmentation[0], axis=0) < fg_thr
     positions = np.array(list(zip(*np.where(all_cells))))
+    return cluster_foreground_positions(
+        positions, cell_segmentation.shape[-2:], ct_thr=ct_thr,
+        instance_map=instance_map, map_path=map_path, dbscan_thr=dbscan_thr)
+
+
+def cluster_foreground_positions(positions: np.ndarray,
+                                 shape: Tuple[int, int],
+                                 ct_thr: Tuple[int, int] = (500, 12000),
+                                 instance_map: bool = True,
+                                 map_path: Optional[str] = None,
+                                 dbscan_thr: Tuple[int, int] = (10, 250)):
+    """DBSCAN + size/window filtering over precomputed foreground pixel
+    coordinates (row-major order, as np.where yields). Split out from
+    ``instance_clustering`` so the device-resident fused seg->patch path can
+    hand over only the (N, 2) coordinates instead of the full probability
+    map (reference instance_clustering.py:58-137 minus the thresholding)."""
+    from ..native.dbscan import grid_dbscan
+
     if len(positions) < 1000:
         return [], np.zeros((0, 2), dtype=int), np.zeros((0,), dtype=int)
 
     positions_labels = grid_dbscan(positions, eps=dbscan_thr[0],
                                    min_samples=dbscan_thr[1],
-                                   shape=cell_segmentation.shape[-2:])
+                                   shape=shape)
     cell_ids, point_cts = np.unique(positions_labels, return_counts=True)
 
     cell_positions = []

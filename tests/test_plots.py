@@ -1,5 +1,10 @@
-"""Smoke tests for analysis/plots.py: every figure family renders a valid
-non-empty PNG/GIF from synthetic inputs."""
+"""Tests for analysis/plots.py: every figure family renders a valid
+non-empty PNG/GIF from synthetic inputs, and the deterministic figures
+(seeded inputs, Agg backend) are pinned by golden pixel hashes so a silent
+matplotlib or plotting-code regression fails loudly, not just file
+existence. Regenerate goldens intentionally with UPDATE_PLOT_GOLDEN=1."""
+import hashlib
+import json
 import os
 
 import numpy as np
@@ -7,15 +12,44 @@ import pytest
 
 from dynamorph_tpu.analysis import plots
 
+_GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden",
+                            "plot_hashes.json")
+
 
 @pytest.fixture
 def frame(rng):
     return (rng.rand(128, 128) * 60000).astype(np.uint16)
 
 
-def _ok(path):
+def _pixel_hash(path):
+    """Hash DECODED pixels (not file bytes) so PNG encoder metadata can't
+    cause false mismatches."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    assert img is not None, f"unreadable image: {path}"
+    return hashlib.sha256(np.ascontiguousarray(img).tobytes()).hexdigest()[:16]
+
+
+def _ok(path, golden=None):
     assert os.path.exists(path)
     assert os.path.getsize(path) > 100
+    if golden is None:
+        return
+    h = _pixel_hash(path)
+    table = {}
+    if os.path.exists(_GOLDEN_PATH):
+        with open(_GOLDEN_PATH) as f:
+            table = json.load(f)
+    if os.environ.get("UPDATE_PLOT_GOLDEN") or golden not in table:
+        table[golden] = h
+        os.makedirs(os.path.dirname(_GOLDEN_PATH), exist_ok=True)
+        with open(_GOLDEN_PATH, "w") as f:
+            json.dump(table, f, indent=1, sort_keys=True)
+        return
+    assert table[golden] == h, (
+        f"figure {golden!r} pixel content changed ({h} != {table[golden]}); "
+        f"if intentional, regenerate with UPDATE_PLOT_GOLDEN=1")
 
 
 def test_plot_patches_and_movie(rng, tmp_path):
@@ -31,20 +65,23 @@ def test_plot_class_probabilities(rng, tmp_path):
     probs = rng.rand(3, 64, 64)
     probs /= probs.sum(0)
     _ok(plots.plot_class_probabilities(probs, str(tmp_path / "cls.png"),
-                                       ["bg", "mg", "non-mg"]))
+                                       ["bg", "mg", "non-mg"]),
+        golden="class_probabilities")
 
 
 def test_plot_instance_separation(rng, frame, tmp_path):
     positions = rng.randint(0, 128, size=(300, 2))
     labels = rng.randint(-1, 4, size=300)
     _ok(plots.plot_instance_separation(frame, positions, labels,
-                                       str(tmp_path / "inst.png")))
+                                       str(tmp_path / "inst.png")),
+        golden="instance_separation")
 
 
 def test_draw_cell_boxes(frame, tmp_path):
     _ok(plots.draw_cell_boxes(frame, [(40, 40), (90, 100)],
                               str(tmp_path / "box.png"),
-                              colors=[(255, 0, 0), (0, 255, 0)], half=20))
+                              colors=[(255, 0, 0), (0, 255, 0)], half=20),
+        golden="cell_boxes")
 
 
 def test_plot_frame_matching(rng, frame, tmp_path):
@@ -52,13 +89,15 @@ def test_plot_frame_matching(rng, frame, tmp_path):
     p1 = p0 + rng.randint(-5, 5, size=(5, 2))
     _ok(plots.plot_frame_matching(frame, frame, p0, p1,
                                   [(i, i) for i in range(5)],
-                                  str(tmp_path / "match.png")))
+                                  str(tmp_path / "match.png")),
+        golden="frame_matching")
 
 
 def test_plot_trajectory_on_frame(rng, frame, tmp_path):
     pos = np.cumsum(rng.randint(-3, 4, size=(10, 2)), axis=0) + 64
     _ok(plots.plot_trajectory_on_frame(frame, pos,
-                                       str(tmp_path / "traj.png")))
+                                       str(tmp_path / "traj.png")),
+        golden="trajectory_on_frame")
 
 
 def test_plot_embedding_scatter_variants(rng, tmp_path):
@@ -66,24 +105,28 @@ def test_plot_embedding_scatter_variants(rng, tmp_path):
     labels = rng.randint(0, 2, size=500)
     _ok(plots.plot_embedding_scatter(emb, str(tmp_path / "pca_cond.png"),
                                      labels=labels,
-                                     conditions=["mock", "infected"]))
+                                     conditions=["mock", "infected"]),
+        golden="embedding_scatter_cond")
     _ok(plots.plot_embedding_scatter(emb, str(tmp_path / "pca_val.png"),
-                                     values=rng.rand(500), cmap="BuPu"))
-    _ok(plots.plot_embedding_scatter(emb, str(tmp_path / "pca_plain.png")))
+                                     values=rng.rand(500), cmap="BuPu"),
+        golden="embedding_scatter_val")
+    _ok(plots.plot_embedding_scatter(emb, str(tmp_path / "pca_plain.png")),
+        golden="embedding_scatter_plain")
 
 
 def test_plot_explained_variance(tmp_path):
     r = np.array([0.4, 0.2, 0.1, 0.05])
-    _ok(plots.plot_explained_variance(r, str(tmp_path / "ev.png")))
+    _ok(plots.plot_explained_variance(r, str(tmp_path / "ev.png")),
+        golden="explained_variance")
 
 
 def test_plot_pc_vs_property(rng, tmp_path):
     pc = rng.randn(300)
     size = np.exp(rng.randn(300) + 6)
     _ok(plots.plot_pc_vs_property(pc, size, str(tmp_path / "sc.png"),
-                                  log_prop=True))
+                                  log_prop=True), golden="pc_vs_prop_scatter")
     _ok(plots.plot_pc_vs_property(pc, size, str(tmp_path / "d.png"),
-                                  density=True))
+                                  density=True), golden="pc_vs_prop_density")
 
 
 def test_plot_correlation_matrix(rng, tmp_path):
@@ -91,23 +134,27 @@ def test_plot_correlation_matrix(rng, tmp_path):
     props = {"size": rng.rand(200), "aspect": rng.rand(200),
              "density": rng.rand(200)}
     _ok(plots.plot_correlation_matrix(comp, props,
-                                      str(tmp_path / "corr.png")))
+                                      str(tmp_path / "corr.png")),
+        golden="correlation_matrix")
 
 
 def test_plot_distribution_comparison(rng, tmp_path):
     _ok(plots.plot_distribution_comparison(rng.randn(100) + 1,
                                            rng.randn(400),
-                                           str(tmp_path / "dist.png")))
+                                           str(tmp_path / "dist.png")),
+        golden="distribution_comparison")
 
 
 def test_plot_joint_kde(rng, tmp_path):
     _ok(plots.plot_joint_kde(rng.randn(150), rng.randn(150) * 0.5 + 2,
-                             str(tmp_path / "kde.png")))
+                             str(tmp_path / "kde.png")),
+        golden="joint_kde")
 
 
 def test_plot_violin_modes(rng, tmp_path):
     groups = {"slow": rng.rand(80), "fast": rng.rand(80) + 1}
-    _ok(plots.plot_violin_modes(groups, str(tmp_path / "violin.png")))
+    _ok(plots.plot_violin_modes(groups, str(tmp_path / "violin.png")),
+        golden="violin_modes")
 
 
 def test_force_aspect(tmp_path):
