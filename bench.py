@@ -26,6 +26,7 @@ Run with --encode-only / --train-only / --seg-only / --multichip-only to
 restrict.
 """
 import json
+import os
 import sys
 import time
 
@@ -39,6 +40,9 @@ SEG_BASELINE_FRAMES_PER_SEC = 20.75
 # bench): 72.5 ms/step. BASELINE.md's earlier 28,030 patches/s was an ad-hoc
 # round-1 number that a chained scripted measurement does not reproduce.
 TRAIN_BASELINE_PATCHES_PER_SEC = 10593.0
+# First scripted end-to-end process_vae measurement (2026-08-17, this
+# bench, relay-tunnel environment): pickle IO + transfer + encode + save.
+E2E_BASELINE_PATCHES_PER_SEC = 150.0
 
 
 def bench_train_step():
@@ -140,6 +144,78 @@ def bench_seg_inference():
         "value": round(frames_per_sec, 2),
         "unit": "2048x2048 2-ch frames/s (direct mode)",
         "vs_baseline": round(frames_per_sec / SEG_BASELINE_FRAMES_PER_SEC, 2),
+    }
+
+
+def bench_e2e_encode(n_wells: int = 3, patches_per_well: int = 512):
+    """END-TO-END latent encoding throughput: the wall-clock a user gets
+    from `run_vae -m process` — reference-format float64 pickle load,
+    host->device transfer, device-side per-patch z-score fused into the
+    jitted encode, the encode itself, and latent pickle save, multi-well
+    with the next well's pickles prefetched (io/prefetch.py). The headline
+    encode number is the device-only ceiling; this is the user-visible
+    floor. In THIS environment host<->device runs through a ~20 MB/s relay
+    tunnel, so the number here is transfer-bound (production TPU hosts move
+    GB/s over PCIe — see BASELINE.md for the decomposition)."""
+    import shutil
+    import tempfile
+
+    import jax
+
+    sys.path.insert(0, ".")
+    from dynamorph_tpu.config.schema import PipelineConfig
+    from dynamorph_tpu.io.pickles import save_pickle
+    from dynamorph_tpu.io.prefetch import Prefetcher
+    from dynamorph_tpu.models import VQVAEz16
+    from dynamorph_tpu.pipeline.patch_vae import (load_well_inputs,
+                                                  process_vae)
+    from dynamorph_tpu.train.checkpoint import save_checkpoint
+
+    base = tempfile.mkdtemp(prefix="e2e_encode_")
+    try:
+        model = VQVAEz16(num_embeddings=64)
+        params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+        ckpt = os.path.join(base, "model_weights")
+        save_checkpoint(ckpt, {"params": params, "state": state})
+
+        rng = np.random.RandomState(0)
+        wells = {}
+        for w in range(n_wells):
+            well = f"C{4 + w}"
+            wells[well] = [f"{well}-Site_0"]
+            # reference pickle contract: float64 (N, C, 1, 128, 128)
+            patches = (rng.rand(patches_per_well, 2, 1, 128, 128)
+                       * 60000).astype(np.float64)
+            save_pickle(patches,
+                        os.path.join(base, f"{well}_static_patches.pkl"))
+            save_pickle([f"{well}/{i}" for i in range(patches_per_well)],
+                        os.path.join(base, f"{well}_file_paths.pkl"))
+
+        config = PipelineConfig()
+        le = config.latent_encoding
+        le.network = "VQ_VAE_z16"
+        le.weights = ckpt
+        le.save_output = False
+
+        def run_all():
+            feed = Prefetcher(list(wells.items()),
+                              lambda kv: load_well_inputs(base, kv[0]))
+            t0 = time.perf_counter()
+            for (well, ws), preloaded in feed:
+                process_vae(base, None, ws, config, preloaded=preloaded)
+            return time.perf_counter() - t0
+
+        run_all()          # warm: compile + page cache
+        elapsed = run_all()
+        pps = n_wells * patches_per_well / elapsed
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return {
+        "metric": "e2e_process_vae_patches_per_sec",
+        "value": round(pps, 1),
+        "unit": ("128x128 2-ch patches/s END-TO-END incl. pickle IO + "
+                 "transfer (relay-tunnel-bound here; see BASELINE.md)"),
+        "vs_baseline": round(pps / E2E_BASELINE_PATCHES_PER_SEC, 2),
     }
 
 
@@ -275,6 +351,8 @@ if __name__ == "__main__":
         _emit(bench_seg_inference())
     elif "--multichip-only" in sys.argv:
         _emit(bench_multichip())
+    elif "--e2e-only" in sys.argv:
+        _emit(bench_e2e_encode())
     else:
         # The headline is measured FIRST (fast compile) but printed LAST
         # (driver contract: last JSON line). Secondary benches run

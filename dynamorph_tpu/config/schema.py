@@ -58,6 +58,11 @@ class PatchConfig:
     save_fig: bool = False
     reload: bool = False
     skip_boundary: bool = False
+    # dynamorph_tpu extension: run segmentation + instance clustering +
+    # patch extraction as ONE device-resident stage (pipeline/fused.py) —
+    # the frame and probability map stay in HBM; only DBSCAN coordinates
+    # round-trip the host. Requires those three stages to be selected.
+    fused: bool = False
 
 
 @dataclasses.dataclass

@@ -116,6 +116,33 @@ def extract_cell_patches(raw: jax.Array, labels: jax.Array,
 
 
 @jax.jit
+def pack_mask_bits(mask: jax.Array) -> jax.Array:
+    """Pack a (H, W) boolean mask into (H, W//8) uint8, little-endian bit
+    order (np.unpackbits(..., bitorder='little') inverts it on host).
+
+    Used by the fused seg->patch path to ship the foreground mask to host
+    for DBSCAN at 1 bit/pixel — 512 KB instead of 16 MB of f32 probability
+    map per 2048^2 frame."""
+    h, w = mask.shape
+    bits = mask.reshape(h, w // 8, 8).astype(jnp.uint8)
+    weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def scatter_label_map(coords: jax.Array, labels: jax.Array,
+                      shape: Tuple[int, int]) -> jax.Array:
+    """Scatter (pixel, label) lists into a full-frame int32 label map ON
+    DEVICE (the device-side dual of ``labels_to_map``): background stays
+    -1, padded slots must carry POSITIVE out-of-bounds coords (>= shape) so
+    mode="drop" discards them — negative indices WRAP in jax scatter.
+
+    coords: (N, 2) int32 (pad slots = shape); labels: (N,) int32."""
+    lab = jnp.full(shape, -1, jnp.int32)
+    return lab.at[coords[:, 0], coords[:, 1]].set(labels, mode="drop")
+
+
+@jax.jit
 def median_background(raw: jax.Array, bg_prob: jax.Array,
                       thr: float = 0.9) -> jax.Array:
     """Per-channel median of pixels with background prob > thr

@@ -1,0 +1,223 @@
+"""Device-resident fused segmentation -> instance -> patch stage.
+
+The staged pipeline round-trips every frame through the host three times:
+``segmentation`` uploads the raw frame and downloads the probability map
+(reference pipeline/segmentation.py:13-87), ``instance_segmentation``
+re-reads both from disk, and ``extract_patches`` re-uploads the ~33 MB
+frame it just downloaded (reference SingleCellPatch/extract_patches.py:
+156-278). On TPU the natural design keeps the frame and the probability
+map in HBM across stages: only DBSCAN (an irregular host/native-C++
+algorithm) needs pixel coordinates on the host, and it needs 1 bit/pixel.
+
+Per frame, this stage:
+
+1. uploads the raw frame ONCE as uint16 (half the bytes of f32);
+2. runs cast + scale + U-Net + foreground threshold in one jitted program,
+   shipping the foreground mask to host as packed bits (512 KB vs the
+   staged path's 16 MB probability download + 33 MB re-upload at 2048^2);
+3. clusters instances on host (native grid-DBSCAN + the reference's
+   size/window filters — track/clustering.py);
+4. uploads the (pixel, label) list (~6 bytes/fg-pixel) and scatters it
+   into the label map ON DEVICE, where the raw frame still lives;
+5. runs the fused window/mask/fill patch program (ops/patch.py) and
+   downloads only the final patches.
+
+Outputs are the same artifacts as the three staged stages: per-site
+``cell_positions.pkl``, ``cell_pixel_assignments.pkl``, instance-map PNGs,
+``stacks_<t>.pkl`` (via the shared ``extract_frame_site_data``), and —
+unless ``save_probabilities=False`` — ``<site>_NNProbabilities.npy`` +
+preview PNGs for downstream validation stages.
+
+Parity: given identical probability maps, outputs are identical to the
+staged path (tests/test_fused_seg_patch.py pins this with a deterministic
+stub model). The U-Net itself runs at batch 1 here vs the staged direct
+mode's frame batching, so real-model probabilities can differ by float
+association at tile boundaries of XLA fusion choices — same class of
+deltas as the staged tiled-vs-direct modes.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..io.pickles import save_pickle
+from ..io.sites import site_supp_folder
+from ..ops.patch import (median_background, pack_mask_bits,
+                         scatter_label_map)
+from ..track.clustering import cluster_foreground_positions
+from .patch import (_round_up, extract_frame_site_data,
+                    filter_boundary_cells)
+
+log = logging.getLogger(__name__)
+
+# Foreground-pixel upload bucket: bounds the number of compiled scatter
+# programs (one per distinct padded size) regardless of per-frame counts.
+_COORD_BUCKET = 1 << 16
+
+
+def process_site_seg_patch_fused(
+        site_path: str, model, site_supp_files_folder: str,
+        seg_channels: Sequence[int], patch_channels: Sequence[int],
+        window_size: int = 256, save_fig: bool = False,
+        skip_boundary: bool = False, cell_bucket: int = 32,
+        fg_thr: float = 0.3, ct_thr: Tuple[int, int] = (500, 12000),
+        dbscan_thr: Tuple[int, int] = (10, 250),
+        save_probabilities: bool = True,
+        out_prob_path: Optional[str] = None) -> None:
+    """Segment + cluster + extract patches for one site with the frame and
+    probability map resident in HBM throughout (see module docstring).
+
+    ``model`` is a seg.Segment (or anything with ``params``/``state`` and a
+    jittable ``_predict_fn(params, state, (B, C, H, W)) -> (B, K, Z, H, W)``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.constants import CHANNEL_MAX
+
+    image_stack = np.load(site_path)  # (T, C, Z, H, W)
+    if image_stack.ndim != 5:
+        raise ValueError(f"expected 5-D site stack, got {image_stack.shape}")
+    os.makedirs(site_supp_files_folder, exist_ok=True)
+    n_frames = image_stack.shape[0]
+    x_size, y_size = image_stack.shape[-2:]
+    half = window_size // 2
+    seg_ch = tuple(int(c) for c in seg_channels)
+    patch_ch = tuple(int(c) for c in patch_channels)
+    predict = model._predict_fn
+
+    @jax.jit
+    def seg_frame(params, state, raw_u16):
+        """(C, H, W) uint16 -> (f32 frame, probs, packed fg mask).
+
+        One program: the frame is cast once and stays in HBM for the patch
+        stage; foreground = mean-over-z background prob < fg_thr
+        (reference instance_clustering.py:63-65)."""
+        raw_f = raw_u16.astype(jnp.float32)
+        seg_in = raw_f[jnp.array(seg_ch)] / CHANNEL_MAX
+        probs = predict(params, state, seg_in[None])[0]  # (K, Z, H, W)
+        fg = jnp.mean(probs[0], axis=0) < fg_thr
+        return raw_f, probs, pack_mask_bits(fg)
+
+    @jax.jit
+    def patch_inputs(raw_f, probs, coords, labels):
+        """Scatter the host DBSCAN labels into the device label map and
+        compute the median background fill — both from HBM residents."""
+        lab = scatter_label_map(coords, labels, (x_size, y_size))
+        raw2d = raw_f[jnp.array(patch_ch)]
+        bg_fill = median_background(raw2d, probs[0, 0])
+        return lab, raw2d, bg_fill
+
+    cell_positions = {}
+    cell_pixel_assignments = {}
+    prob_frames = [] if save_probabilities else None
+
+    for t_point in range(n_frames):
+        raw_u16 = np.ascontiguousarray(image_stack[t_point, :, 0])
+        raw_f, probs, packed = seg_frame(model.params, model.state,
+                                         jax.device_put(raw_u16))
+
+        # host: unpack the bitmask -> row-major foreground coords (same
+        # order as np.where in the staged path) -> DBSCAN + filters
+        fg = np.unpackbits(np.asarray(packed), axis=1,
+                           bitorder="little").astype(bool)[:, :y_size]
+        positions = np.argwhere(fg)
+        map_path = os.path.join(site_supp_files_folder,
+                                "segmentation_%d.png" % t_point)
+        res = cluster_foreground_positions(
+            positions, (x_size, y_size), ct_thr=ct_thr, instance_map=True,
+            map_path=map_path, dbscan_thr=dbscan_thr)
+        all_cells, positions, positions_labels = res
+        cell_pixel_assignments[t_point] = (positions, positions_labels)
+
+        kept_cells = filter_boundary_cells(all_cells, half, x_size, y_size,
+                                           skip_boundary)
+        cell_positions[t_point] = kept_cells
+
+        site_data = {}
+        if kept_cells:
+            n = len(positions)
+            coord_bucket = min(_COORD_BUCKET, x_size * y_size)
+            n_pad = _round_up(max(n, 1), coord_bucket)
+            # pad slots get POSITIVE out-of-bounds coords (scatter drops
+            # them; negative indices would wrap)
+            coords = np.full((n_pad, 2), max(x_size, y_size), np.int32)
+            labs = np.zeros((n_pad,), np.int32)
+            coords[:n] = positions
+            labs[:n] = positions_labels
+            lab_dev, raw2d_dev, bg_fill = patch_inputs(
+                raw_f, probs, jax.device_put(coords), jax.device_put(labs))
+            site_data = extract_frame_site_data(
+                raw2d_dev, lab_dev, bg_fill, kept_cells,
+                site_supp_files_folder, t_point, window_size=window_size,
+                cell_bucket=cell_bucket, save_fig=save_fig)
+        save_pickle(site_data, os.path.join(site_supp_files_folder,
+                                            "stacks_%d.pkl" % t_point))
+        if prob_frames is not None:
+            prob_frames.append(np.asarray(probs))
+
+    save_pickle(cell_positions,
+                os.path.join(site_supp_files_folder, "cell_positions.pkl"))
+    save_pickle(cell_pixel_assignments,
+                os.path.join(site_supp_files_folder,
+                             "cell_pixel_assignments.pkl"))
+
+    if prob_frames is not None:
+        from ..seg.data import plot_prediction_prob
+
+        import cv2
+
+        total = np.stack(prob_frames, 0)
+        if out_prob_path is None:
+            out_prob_path = os.path.splitext(site_path)[0] + \
+                "_NNProbabilities"
+        np.save(out_prob_path, total)
+        # preview PNGs, same contract as the staged segmentation stage
+        # (seg/inference.py::_finish_whole_map)
+        cv2.imwrite(os.path.splitext(site_path)[0] + ".png",
+                    image_stack[0, seg_ch[0], 0])
+        plot_prediction_prob(total[0],
+                             os.path.splitext(site_path)[0] + "_NNpred.png")
+
+
+def seg_patch_fused(raw_folder: str, supp_folder: str,
+                    sites: Sequence[str], config, **kwargs) -> None:
+    """Driver over sites: loads the U-Net once, then runs the fused
+    device-resident stage per site with the staged drivers' per-site
+    failure tolerance (reference pipeline/segmentation.py:76-86)."""
+    from ..core.profiling import stage_timer
+    from ..seg.model import Segment
+
+    si = config.segmentation_inference
+    if si.network != "UNet":
+        raise NotImplementedError(
+            f"segmentation model {si.network} not implemented")
+    model = Segment(input_shape=(len(si.channels), si.window_size,
+                                 si.window_size),
+                    n_classes=si.num_classes)
+    if not si.weights:
+        raise ValueError("segmentation weights path must be provided")
+    model.load(si.weights)
+
+    for site in sites:
+        site_path = os.path.join(raw_folder, f"{site}.npy")
+        if not os.path.exists(site_path):
+            log.error("Site data not found %s", site_path)
+            continue
+        supp = site_supp_folder(supp_folder, site)
+        os.makedirs(supp, exist_ok=True)
+        try:
+            with stage_timer("seg_patch_fused", site=site):
+                process_site_seg_patch_fused(
+                    site_path, model, supp,
+                    seg_channels=si.channels,
+                    patch_channels=config.patch.channels,
+                    window_size=config.patch.window_size,
+                    save_fig=config.patch.save_fig,
+                    skip_boundary=config.patch.skip_boundary, **kwargs)
+        except Exception as ex:
+            log.error(ex)
+            log.error("Error in fused seg->patch for site %s", site)

@@ -64,23 +64,44 @@ def run_pipeline(raw_dir: str, supp_dir: str, sites: Sequence[str], config,
         executed.append(stage)
 
     wells = group_sites_by_well(sites)
-
-    run("segmentation",
-        lambda: segmentation(raw_dir, supp_dir, None, sites, config),
-        skip_if=lambda: all(
-            os.path.exists(os.path.join(raw_dir, f"{s}_NNProbabilities.npy"))
-            for s in sites))
     from ..io.sites import site_supp_folder
 
-    run("instance_segmentation",
-        lambda: instance_segmentation(raw_dir, supp_dir, sites, config,
-                                      rerun=not resume),
-        skip_if=lambda: all(
-            os.path.exists(os.path.join(site_supp_folder(supp_dir, s),
-                                        "cell_positions.pkl"))
-            for s in sites))
-    run("extract_patches",
-        lambda: extract_patches(raw_dir, supp_dir, sites, config))
+    front_end = {"segmentation", "instance_segmentation", "extract_patches"}
+    fused = bool(getattr(config.patch, "fused", False)) and \
+        front_end <= set(stages)
+    if fused:
+        stages = ["seg_patch_fused"] + [s for s in stages
+                                        if s not in front_end]
+        # device-resident fast path: the three front-end stages run as one
+        # program chain per frame with HBM-resident hand-off
+        # (pipeline/fused.py); artifacts are identical, so downstream
+        # stages and resume semantics are unchanged.
+        from .fused import seg_patch_fused
+
+        def _fused_all():
+            seg_patch_fused(raw_dir, supp_dir, sites, config)
+
+        run("seg_patch_fused", _fused_all,
+            skip_if=lambda: all(
+                os.path.exists(os.path.join(site_supp_folder(supp_dir, s),
+                                            "cell_positions.pkl"))
+                for s in sites))
+    else:
+        run("segmentation",
+            lambda: segmentation(raw_dir, supp_dir, None, sites, config),
+            skip_if=lambda: all(
+                os.path.exists(
+                    os.path.join(raw_dir, f"{s}_NNProbabilities.npy"))
+                for s in sites))
+        run("instance_segmentation",
+            lambda: instance_segmentation(raw_dir, supp_dir, sites, config,
+                                          rerun=not resume),
+            skip_if=lambda: all(
+                os.path.exists(os.path.join(site_supp_folder(supp_dir, s),
+                                            "cell_positions.pkl"))
+                for s in sites))
+        run("extract_patches",
+            lambda: extract_patches(raw_dir, supp_dir, sites, config))
     run("build_trajectories",
         lambda: build_trajectories(raw_dir, supp_dir, sites, config))
     run("assemble",

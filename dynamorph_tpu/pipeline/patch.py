@@ -32,6 +32,77 @@ def _round_up(n: int, m: int) -> int:
     return max(m, ((n + m - 1) // m) * m)
 
 
+def extract_frame_site_data(raw_dev, labels_dev, bg_fill, kept_cells,
+                            site_supp_files_folder: str, t_point: int,
+                            window_size: int = 256, cell_bucket: int = 32,
+                            save_fig: bool = False) -> Dict[str, dict]:
+    """One frame's cells -> the ``stacks_<t>.pkl`` site-data dict.
+
+    Shared by the staged path (host-loaded frame + label map) and the fused
+    seg->patch path (device-resident frame + device-scattered label map):
+    runs the fused window/mask/fill program (ops/patch.py), fetches the
+    padded bucket once, and assembles the reference pickle layout
+    (extract_patches.py:228-278).
+
+    ``raw_dev``: (C, H, W) f32 (device or host); ``labels_dev``: (H, W)
+    int32; ``bg_fill``: (C,) medians; ``kept_cells``: [(cell_id, center)].
+    """
+    import jax.numpy as jnp
+
+    site_data: Dict[str, dict] = {}
+    n = len(kept_cells)
+    if n == 0:
+        return site_data
+    n_pad = _round_up(n, cell_bucket)
+    centers = np.zeros((n_pad, 2), np.int32)
+    ids = np.full((n_pad,), -999, np.int32)
+    for i, (cid, pos) in enumerate(kept_cells):
+        centers[i] = (pos[0], pos[1])
+        ids[i] = cid
+    out = extract_cell_patches(
+        jnp.asarray(raw_dev), jnp.asarray(labels_dev),
+        jnp.asarray(centers), jnp.asarray(ids),
+        jnp.asarray(bg_fill), window_size=window_size)
+    # Fetch the full bucket: slicing on device would create a new tiny
+    # program per distinct n (a fresh compile each time); fetching the
+    # already-materialised buffers needs none. Masks travel as uint8
+    # (4x smaller).
+    mat = np.asarray(out["mat"])[:n]
+    masked = np.asarray(out["masked_mat"])[:n]
+    tm = np.asarray(out["tm"])[:n].astype(np.float32)
+    tm2 = np.asarray(out["tm2"])[:n].astype(np.float32)
+
+    for i, (cid, pos) in enumerate(kept_cells):
+        cell_name = os.path.join(site_supp_files_folder,
+                                 "%d_%d.h5" % (t_point, cid))
+        # back to (C(+2), Z, H, W) float64 layout
+        m = np.concatenate(
+            [mat[i][:, None], tm[i][None, None], tm2[i][None, None]],
+            0).astype("float64")
+        mm = np.concatenate(
+            [masked[i][:, None], tm[i][None, None],
+             tm2[i][None, None]], 0).astype("float64")
+        site_data[cell_name] = {"mat": m, "masked_mat": mm}
+        if save_fig:
+            im_path = os.path.join(
+                site_supp_files_folder,
+                "patch_t%d_id%d.jpg" % (t_point, cid))
+            save_single_cell_im(m[:, 0], mm[:, 0], tm[i], tm2[i], im_path)
+    return site_data
+
+
+def filter_boundary_cells(all_cells, half: int, x_size: int, y_size: int,
+                          skip_boundary: bool):
+    """Optionally drop cells whose window crosses the frame boundary
+    (reference extract_patches.py:206-212)."""
+    kept = list(all_cells)
+    if skip_boundary:
+        kept = [(cid, pos) for cid, pos in kept
+                if pos[0] - half >= 0 and pos[0] + half <= x_size
+                and pos[1] - half >= 0 and pos[1] + half <= y_size]
+    return kept
+
+
 def process_site_extract_patches(site_path: str, site_segmentation_path: str,
                                  site_supp_files_folder: str,
                                  window_size: int = 256,
@@ -72,15 +143,8 @@ def process_site_extract_patches(site_path: str, site_segmentation_path: str,
         raw_image = image_stack[t_point]            # (C, Z, H, W)
         cell_segmentation = check_segmentation_dim(segmentation_stack[t_point])
         positions, positions_labels = cell_pixel_assignments[t_point]
-        all_cells = cell_positions[t_point]
-
-        kept_cells = list(all_cells)
-        if skip_boundary:
-            kept_cells = [
-                (cid, pos) for cid, pos in kept_cells
-                if pos[0] - half >= 0 and pos[0] + half <= x_size
-                and pos[1] - half >= 0 and pos[1] + half <= y_size]
-
+        kept_cells = filter_boundary_cells(cell_positions[t_point], half,
+                                           x_size, y_size, skip_boundary)
         if kept_cells:
             raw2d = raw_image[:, 0].astype(np.float32)      # z squeezed
             bg_fill = median_background(
@@ -88,45 +152,10 @@ def process_site_extract_patches(site_path: str, site_segmentation_path: str,
                     cell_segmentation[0, 0].astype(np.float32)))
             labels = labels_to_map((x_size, y_size), positions,
                                    positions_labels)
-            n = len(kept_cells)
-            n_pad = _round_up(n, cell_bucket)
-            # In the padded frame, a window with origin (center - half) starts
-            # at index (center - half) + half = center.
-            centers = np.zeros((n_pad, 2), np.int32)
-            ids = np.full((n_pad,), -999, np.int32)
-            for i, (cid, pos) in enumerate(kept_cells):
-                centers[i] = (pos[0], pos[1])
-                ids[i] = cid
-            out = extract_cell_patches(
-                jnp.asarray(raw2d), jnp.asarray(labels),
-                jnp.asarray(centers), jnp.asarray(ids),
-                bg_fill, window_size=window_size)
-            # Fetch the full bucket: slicing on device would create a new
-            # tiny program per distinct n (a fresh compile each time);
-            # fetching the already-materialised buffers needs none. Masks
-            # travel as uint8 (4x smaller).
-            mat = np.asarray(out["mat"])[:n]
-            masked = np.asarray(out["masked_mat"])[:n]
-            tm = np.asarray(out["tm"])[:n].astype(np.float32)
-            tm2 = np.asarray(out["tm2"])[:n].astype(np.float32)
-
-            for i, (cid, pos) in enumerate(kept_cells):
-                cell_name = os.path.join(site_supp_files_folder,
-                                         "%d_%d.h5" % (t_point, cid))
-                # back to (C(+2), Z, H, W) float64 layout
-                m = np.concatenate(
-                    [mat[i][:, None], tm[i][None, None], tm2[i][None, None]],
-                    0).astype("float64")
-                mm = np.concatenate(
-                    [masked[i][:, None], tm[i][None, None],
-                     tm2[i][None, None]], 0).astype("float64")
-                site_data[cell_name] = {"mat": m, "masked_mat": mm}
-                if save_fig:
-                    im_path = os.path.join(
-                        site_supp_files_folder,
-                        "patch_t%d_id%d.jpg" % (t_point, cid))
-                    save_single_cell_im(m[:, 0], mm[:, 0], tm[i], tm2[i],
-                                        im_path)
+            site_data = extract_frame_site_data(
+                raw2d, labels, bg_fill, kept_cells, site_supp_files_folder,
+                t_point, window_size=window_size, cell_bucket=cell_bucket,
+                save_fig=save_fig)
         save_pickle(site_data, stack_path)
         cell_positions[t_point] = kept_cells
     save_pickle(cell_positions,

@@ -233,7 +233,11 @@ def process_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
 
     fs, dataset = preloaded if preloaded is not None \
         else load_well_inputs(raw_folder, well)
-    dataset = zscore_patch(np.squeeze(dataset)).astype(np.float32)
+    # NOTE: per-patch z-scoring (reference patch_VAE.py:418) happens ON
+    # DEVICE for the VAE branch — encode_patches(normalize="patch") fuses
+    # it into the jitted encode, skipping a full host traversal + copy of
+    # the dataset; the ResNet branch normalizes on host below.
+    dataset = np.squeeze(dataset)
     assert dataset.ndim == 4, f"dataset must be 4-D, got {dataset.ndim}"
     assert len(fs) == len(dataset)
 
@@ -255,7 +259,7 @@ def process_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
         # encode_patches auto-meshes over all local devices when mesh=None
         with stage_timer("process_vae_encode", well=well, n=len(dataset)):
             z_b, z_a = encode_patches(model, params, state, dataset,
-                                      batch_size)
+                                      batch_size, normalize="patch")
         save_pickle(z_b, os.path.join(output_dir, f"{well}_latent_space.pkl"))
         save_pickle(z_a, os.path.join(output_dir,
                                       f"{well}_latent_space_after.pkl"))
@@ -268,6 +272,7 @@ def process_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
 
         model = EncodeProject(arch=le.network)
         params, state = _load_model_weights(model, model_path)
+        dataset = zscore_patch(dataset).astype(np.float32)
         mesh = None
         if jax.device_count() > 1:
             from ..core.mesh import make_mesh
@@ -291,10 +296,13 @@ def _save_recon_images(model, params, state, dataset, output_dir, n: int = 20):
 
     from ..io.images import im_adjust
 
+    from ..train.data import zscore_patch
+
     rng = np.random.RandomState(0)
     random_inds = rng.randint(0, len(dataset), (n,))
     for i in random_inds:
-        sample = dataset[i: i + 1]
+        # dataset arrives raw; per-patch z-score is local to each sample
+        sample = zscore_patch(dataset[i: i + 1]).astype(np.float32)
         output, _, _ = model.apply(params, state, jnp.asarray(sample))
         output = np.asarray(output)
         ims = [im_adjust(sample[0, 0]), im_adjust(output[0, 0]),

@@ -107,7 +107,7 @@ def cluster_foreground_positions(positions: np.ndarray,
 
     if instance_map and map_path is not None:
         save_instance_map(cell_positions, positions, positions_labels,
-                          cell_segmentation.shape[-2:], map_path)
+                          shape, map_path)
     return cell_positions, positions, positions_labels
 
 

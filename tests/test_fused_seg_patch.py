@@ -1,0 +1,199 @@
+"""Fused device-resident seg->instance->patch stage (pipeline/fused.py):
+given identical probability maps, its artifacts must be IDENTICAL to the
+three staged stages' (segmentation -> instance_segmentation ->
+extract_patches). A deterministic elementwise stub model guarantees the
+probability maps are bit-equal between the two paths (batch-1 vs batched
+frames can differ in float association for real convnets), so any
+difference here is a pipeline-logic bug.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dynamorph_tpu.io.pickles import load_pickle
+
+# small-frame clustering params (reference defaults assume 2048^2 frames)
+CLUSTER = dict(ct_thr=(50, 2000), dbscan_thr=(3, 10))
+
+
+class StubSeg:
+    """Deterministic, elementwise 'U-Net': cell prob rises with channel-0
+    intensity. Piecewise-linear only (sub/mul/clamp, no transcendentals) so
+    XLA produces BIT-equal results at any batch size, sharding, or fusion
+    context — exp/sigmoid tails differ at ~2e-6 between program shapes."""
+
+    params = {"w": jnp.float32(10.0)}
+    state = {}
+    n_classes = 3
+
+    @staticmethod
+    @jax.jit
+    def _predict_fn(params, state, x):
+        # x: (B, C, H, W) scaled to [0, 1]
+        blob = jnp.clip((x[:, 0] - 0.5) * params["w"], 0.0, 1.0)  # (B, H, W)
+        p1 = 0.9 * blob
+        p2 = jnp.full_like(p1, 0.05)
+        p0 = 1.0 - p1 - p2
+        return jnp.stack([p0, p1, p2], axis=1)[:, :, None]  # (B, 3, 1, H, W)
+
+
+def _make_site(tmp_path, name):
+    """3 frames of 64x64, 3 moving disk cells (~450 px each: >1000 fg px
+    per frame so clustering doesn't early-out)."""
+    os.makedirs(tmp_path, exist_ok=True)
+    rng = np.random.RandomState(42)
+    T, H, W = 3, 64, 64
+    yy, xx = np.mgrid[:H, :W]
+    centers0 = np.array([[18, 18], [18, 46], [46, 32]])
+    stack = np.zeros((T, 2, 1, H, W), np.uint16)
+    for t in range(T):
+        frame = rng.rand(2, H, W) * 5000 + 10000
+        for cy, cx in centers0 + t:
+            m = (yy - cy) ** 2 + (xx - cx) ** 2 < 12 ** 2
+            frame[0][m] = 60000
+            frame[1][m] = 45000
+        stack[t, :, 0] = frame.astype(np.uint16)
+    path = tmp_path / f"{name}.npy"
+    np.save(path, stack)
+    return str(path)
+
+
+def _run_staged(site_path, supp):
+    from dynamorph_tpu.pipeline.patch import process_site_extract_patches
+    from dynamorph_tpu.seg.inference import predict_whole_map
+    from dynamorph_tpu.track.clustering import \
+        process_site_instance_segmentation
+
+    os.makedirs(supp, exist_ok=True)
+    model = StubSeg()
+    predict_whole_map(site_path, model, use_channels=np.array([0, 1]),
+                      mode="direct")
+    prob_path = os.path.splitext(site_path)[0] + "_NNProbabilities.npy"
+    process_site_instance_segmentation(site_path, prob_path, supp, **CLUSTER)
+    process_site_extract_patches(site_path, prob_path, supp,
+                                 window_size=32, channels=[0, 1],
+                                 reload=False)
+    return prob_path
+
+
+def _run_fused(site_path, supp):
+    from dynamorph_tpu.pipeline.fused import process_site_seg_patch_fused
+
+    process_site_seg_patch_fused(
+        site_path, StubSeg(), supp, seg_channels=[0, 1],
+        patch_channels=[0, 1], window_size=32, **CLUSTER)
+    return os.path.splitext(site_path)[0] + "_NNProbabilities.npy"
+
+
+def _stack_by_basename(supp, t):
+    d = load_pickle(os.path.join(supp, f"stacks_{t}.pkl"))
+    return {os.path.basename(k): v for k, v in d.items()}
+
+
+def test_fused_matches_staged(tmp_path):
+    staged_site = _make_site(tmp_path / "a", "C5-Site_0")
+    fused_site = _make_site(tmp_path / "b", "C5-Site_0")
+    (tmp_path / "a").mkdir(exist_ok=True)
+    supp_staged = str(tmp_path / "a" / "supp")
+    supp_fused = str(tmp_path / "b" / "supp")
+
+    prob_staged = _run_staged(staged_site, supp_staged)
+    prob_fused = _run_fused(fused_site, supp_fused)
+
+    # probability maps: bit-equal (elementwise stub)
+    np.testing.assert_array_equal(np.load(prob_staged), np.load(prob_fused))
+
+    # instance artifacts: identical cells, pixels, labels
+    cp_s = load_pickle(os.path.join(supp_staged, "cell_positions.pkl"))
+    cp_f = load_pickle(os.path.join(supp_fused, "cell_positions.pkl"))
+    assert cp_s.keys() == cp_f.keys()
+    for t in cp_s:
+        assert len(cp_s[t]) == len(cp_f[t]) > 0, f"no cells at t={t}"
+        for (id_s, pos_s), (id_f, pos_f) in zip(cp_s[t], cp_f[t]):
+            assert id_s == id_f
+            np.testing.assert_array_equal(pos_s, pos_f)
+    pa_s = load_pickle(os.path.join(supp_staged,
+                                    "cell_pixel_assignments.pkl"))
+    pa_f = load_pickle(os.path.join(supp_fused,
+                                    "cell_pixel_assignments.pkl"))
+    for t in pa_s:
+        np.testing.assert_array_equal(pa_s[t][0], pa_f[t][0])
+        np.testing.assert_array_equal(pa_s[t][1], pa_f[t][1])
+
+    # patch stacks: identical mats and masks
+    for t in range(3):
+        s = _stack_by_basename(supp_staged, t)
+        f = _stack_by_basename(supp_fused, t)
+        assert s.keys() == f.keys() and len(s) > 0
+        for k in s:
+            np.testing.assert_array_equal(s[k]["mat"], f[k]["mat"])
+            np.testing.assert_array_equal(s[k]["masked_mat"],
+                                          f[k]["masked_mat"])
+
+    # instance map PNGs + preview PNGs written by both paths
+    for t in range(3):
+        assert os.path.exists(os.path.join(supp_fused,
+                                           f"segmentation_{t}.png"))
+    assert os.path.exists(str(tmp_path / "b" / "C5-Site_0_NNpred.png"))
+
+
+def test_fused_skip_boundary_and_no_probs(tmp_path):
+    """skip_boundary drops window-crossing cells like the staged path, and
+    save_probabilities=False suppresses the NNProbabilities download."""
+    from dynamorph_tpu.pipeline.fused import process_site_seg_patch_fused
+
+    site = _make_site(tmp_path, "C5-Site_0")
+    supp = str(tmp_path / "supp")
+    process_site_seg_patch_fused(
+        site, StubSeg(), supp, seg_channels=[0, 1], patch_channels=[0, 1],
+        window_size=32, skip_boundary=True, save_probabilities=False,
+        **CLUSTER)
+    cp = load_pickle(os.path.join(supp, "cell_positions.pkl"))
+    # cells at (18,18)+t and (18,46)+t cross the 32px window at 64^2; the
+    # center cell (46,32)+t survives until its window crosses the boundary
+    for t, cells in cp.items():
+        for cid, pos in cells:
+            assert pos[0] >= 16 and pos[0] <= 48
+            assert pos[1] >= 16 and pos[1] <= 48
+    assert not os.path.exists(
+        os.path.splitext(site)[0] + "_NNProbabilities.npy")
+
+
+def test_orchestrator_fused_stage_substitution(tmp_path, monkeypatch):
+    """With patch.fused=True and the three front-end stages selected, the
+    orchestrator runs the single fused stage instead."""
+    from dynamorph_tpu.config.schema import PipelineConfig
+    from dynamorph_tpu.pipeline import fused as fused_mod
+    from dynamorph_tpu.pipeline.orchestrator import run_pipeline
+
+    calls = []
+    monkeypatch.setattr(fused_mod, "seg_patch_fused",
+                        lambda *a, **k: calls.append(a))
+
+    config = PipelineConfig()
+    config.patch.fused = True
+    executed = run_pipeline(str(tmp_path), str(tmp_path), ["C5-Site_0"],
+                            config,
+                            stages=["segmentation", "instance_segmentation",
+                                    "extract_patches"])
+    assert executed == ["seg_patch_fused"]
+    assert len(calls) == 1
+
+    # without the flag, the staged stages run individually
+    calls.clear()
+    config.patch.fused = False
+    from dynamorph_tpu.pipeline import orchestrator as orch
+    monkeypatch.setattr(orch, "segmentation", lambda *a, **k: None)
+    monkeypatch.setattr(orch, "instance_segmentation", lambda *a, **k: None)
+    monkeypatch.setattr(orch, "extract_patches", lambda *a, **k: None)
+    executed = run_pipeline(str(tmp_path), str(tmp_path), ["C5-Site_0"],
+                            config,
+                            stages=["segmentation", "instance_segmentation",
+                                    "extract_patches"], resume=False)
+    assert executed == ["segmentation", "instance_segmentation",
+                        "extract_patches"]
+    assert calls == []
