@@ -48,3 +48,44 @@ class Prefetcher:
 
     def __len__(self):
         return len(self._items)
+
+
+class AsyncWriter:
+    """Run host-side output writes (pickle serialization + disk) on one
+    background thread so per-frame artifact writes overlap device compute.
+
+    At most ``depth`` writes are in flight; ``submit`` blocks beyond that,
+    bounding the host memory held by pending frames (a 2048^2 site's
+    ``stacks_<t>.pkl`` is ~100 MB of float64). ``close()`` drains the queue
+    and re-raises the first failure; use as a context manager so errors
+    can't be silently dropped."""
+
+    def __init__(self, depth: int = 2):
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=1)
+        self._pending = deque()
+        self._depth = max(depth, 1)
+
+    def submit(self, fn: Callable, *args, **kwargs) -> None:
+        while len(self._pending) >= self._depth:
+            self._pending.popleft().result()
+        self._pending.append(self._pool.submit(fn, *args, **kwargs))
+
+    def close(self) -> None:
+        try:
+            while self._pending:
+                self._pending.popleft().result()
+        finally:
+            self._pool.shutdown(wait=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.close()
+        else:
+            self._pool.shutdown(wait=False)
+        return False

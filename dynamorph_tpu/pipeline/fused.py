@@ -111,54 +111,63 @@ def process_site_seg_patch_fused(
         bg_fill = median_background(raw2d, probs[0, 0])
         return lab, raw2d, bg_fill
 
+    from ..io.prefetch import AsyncWriter
+
     cell_positions = {}
     cell_pixel_assignments = {}
     prob_frames = [] if save_probabilities else None
 
-    for t_point in range(n_frames):
-        raw_u16 = np.ascontiguousarray(image_stack[t_point, :, 0])
-        raw_f, probs, packed = seg_frame(model.params, model.state,
-                                         jax.device_put(raw_u16))
+    writer = AsyncWriter(depth=2)
+    try:
+        for t_point in range(n_frames):
+            raw_u16 = np.ascontiguousarray(image_stack[t_point, :, 0])
+            raw_f, probs, packed = seg_frame(model.params, model.state,
+                                             jax.device_put(raw_u16))
 
-        # host: unpack the bitmask -> row-major foreground coords (same
-        # order as np.where in the staged path) -> DBSCAN + filters
-        fg = np.unpackbits(np.asarray(packed), axis=1,
-                           bitorder="little").astype(bool)[:, :y_size]
-        positions = np.argwhere(fg)
-        map_path = os.path.join(site_supp_files_folder,
-                                "segmentation_%d.png" % t_point)
-        res = cluster_foreground_positions(
-            positions, (x_size, y_size), ct_thr=ct_thr, instance_map=True,
-            map_path=map_path, dbscan_thr=dbscan_thr)
-        all_cells, positions, positions_labels = res
-        cell_pixel_assignments[t_point] = (positions, positions_labels)
+            # host: unpack the bitmask -> row-major foreground coords (same
+            # order as np.where in the staged path) -> DBSCAN + filters
+            fg = np.unpackbits(np.asarray(packed), axis=1,
+                               bitorder="little").astype(bool)[:, :y_size]
+            positions = np.argwhere(fg)
+            map_path = os.path.join(site_supp_files_folder,
+                                    "segmentation_%d.png" % t_point)
+            res = cluster_foreground_positions(
+                positions, (x_size, y_size), ct_thr=ct_thr, instance_map=True,
+                map_path=map_path, dbscan_thr=dbscan_thr)
+            all_cells, positions, positions_labels = res
+            cell_pixel_assignments[t_point] = (positions, positions_labels)
 
-        kept_cells = filter_boundary_cells(all_cells, half, x_size, y_size,
-                                           skip_boundary)
-        cell_positions[t_point] = kept_cells
+            kept_cells = filter_boundary_cells(all_cells, half, x_size, y_size,
+                                               skip_boundary)
+            cell_positions[t_point] = kept_cells
 
-        site_data = {}
-        if kept_cells:
-            n = len(positions)
-            coord_bucket = min(_COORD_BUCKET, x_size * y_size)
-            n_pad = _round_up(max(n, 1), coord_bucket)
-            # pad slots get POSITIVE out-of-bounds coords (scatter drops
-            # them; negative indices would wrap)
-            coords = np.full((n_pad, 2), max(x_size, y_size), np.int32)
-            labs = np.zeros((n_pad,), np.int32)
-            coords[:n] = positions
-            labs[:n] = positions_labels
-            lab_dev, raw2d_dev, bg_fill = patch_inputs(
-                raw_f, probs, jax.device_put(coords), jax.device_put(labs))
-            site_data = extract_frame_site_data(
-                raw2d_dev, lab_dev, bg_fill, kept_cells,
-                site_supp_files_folder, t_point, window_size=window_size,
-                cell_bucket=cell_bucket, save_fig=save_fig)
-        save_pickle(site_data, os.path.join(site_supp_files_folder,
-                                            "stacks_%d.pkl" % t_point))
-        if prob_frames is not None:
-            prob_frames.append(np.asarray(probs))
+            site_data = {}
+            if kept_cells:
+                n = len(positions)
+                coord_bucket = min(_COORD_BUCKET, x_size * y_size)
+                n_pad = _round_up(max(n, 1), coord_bucket)
+                # pad slots get POSITIVE out-of-bounds coords (scatter drops
+                # them; negative indices would wrap)
+                coords = np.full((n_pad, 2), max(x_size, y_size), np.int32)
+                labs = np.zeros((n_pad,), np.int32)
+                coords[:n] = positions
+                labs[:n] = positions_labels
+                lab_dev, raw2d_dev, bg_fill = patch_inputs(
+                    raw_f, probs, jax.device_put(coords), jax.device_put(labs))
+                site_data = extract_frame_site_data(
+                    raw2d_dev, lab_dev, bg_fill, kept_cells,
+                    site_supp_files_folder, t_point, window_size=window_size,
+                    cell_bucket=cell_bucket, save_fig=save_fig)
+            # serialize + write the ~100 MB float64 stacks pickle on a bounded
+            # background thread while the next frame runs on device
+            writer.submit(save_pickle, site_data,
+                          os.path.join(site_supp_files_folder,
+                                       "stacks_%d.pkl" % t_point))
+            if prob_frames is not None:
+                prob_frames.append(np.asarray(probs))
 
+    finally:
+        writer.close()
     save_pickle(cell_positions,
                 os.path.join(site_supp_files_folder, "cell_positions.pkl"))
     save_pickle(cell_pixel_assignments,

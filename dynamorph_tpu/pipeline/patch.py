@@ -128,36 +128,45 @@ def process_site_extract_patches(site_path: str, site_segmentation_path: str,
     cell_pixel_assignments = load_pickle(
         os.path.join(site_supp_files_folder, "cell_pixel_assignments.pkl"))
 
+    from ..io.prefetch import AsyncWriter
+
     n_frames, n_channels, n_z, x_size, y_size = image_stack.shape
     half = window_size // 2
-    for t_point in range(n_frames):
-        stack_path = os.path.join(site_supp_files_folder,
-                                  "stacks_%d.pkl" % t_point)
-        if reload and os.path.exists(stack_path):
-            try:
-                load_pickle(stack_path)
-                continue
-            except Exception as e:
-                log.warning("failed reloading %s: %s", stack_path, e)
-        site_data: Dict[str, dict] = {}
-        raw_image = image_stack[t_point]            # (C, Z, H, W)
-        cell_segmentation = check_segmentation_dim(segmentation_stack[t_point])
-        positions, positions_labels = cell_pixel_assignments[t_point]
-        kept_cells = filter_boundary_cells(cell_positions[t_point], half,
-                                           x_size, y_size, skip_boundary)
-        if kept_cells:
-            raw2d = raw_image[:, 0].astype(np.float32)      # z squeezed
-            bg_fill = median_background(
-                jnp.asarray(raw2d), jnp.asarray(
-                    cell_segmentation[0, 0].astype(np.float32)))
-            labels = labels_to_map((x_size, y_size), positions,
-                                   positions_labels)
-            site_data = extract_frame_site_data(
-                raw2d, labels, bg_fill, kept_cells, site_supp_files_folder,
-                t_point, window_size=window_size, cell_bucket=cell_bucket,
-                save_fig=save_fig)
-        save_pickle(site_data, stack_path)
-        cell_positions[t_point] = kept_cells
+    writer = AsyncWriter(depth=2)
+    try:
+        for t_point in range(n_frames):
+            stack_path = os.path.join(site_supp_files_folder,
+                                      "stacks_%d.pkl" % t_point)
+            if reload and os.path.exists(stack_path):
+                try:
+                    load_pickle(stack_path)
+                    continue
+                except Exception as e:
+                    log.warning("failed reloading %s: %s", stack_path, e)
+            site_data: Dict[str, dict] = {}
+            raw_image = image_stack[t_point]            # (C, Z, H, W)
+            cell_segmentation = check_segmentation_dim(
+                segmentation_stack[t_point])
+            positions, positions_labels = cell_pixel_assignments[t_point]
+            kept_cells = filter_boundary_cells(cell_positions[t_point], half,
+                                               x_size, y_size, skip_boundary)
+            if kept_cells:
+                raw2d = raw_image[:, 0].astype(np.float32)      # z squeezed
+                bg_fill = median_background(
+                    jnp.asarray(raw2d), jnp.asarray(
+                        cell_segmentation[0, 0].astype(np.float32)))
+                labels = labels_to_map((x_size, y_size), positions,
+                                       positions_labels)
+                site_data = extract_frame_site_data(
+                    raw2d, labels, bg_fill, kept_cells,
+                    site_supp_files_folder, t_point, window_size=window_size,
+                    cell_bucket=cell_bucket, save_fig=save_fig)
+            # serialize + write the float64 stacks pickle on a bounded
+            # background thread while the next frame runs on device
+            writer.submit(save_pickle, site_data, stack_path)
+            cell_positions[t_point] = kept_cells
+    finally:
+        writer.close()
     save_pickle(cell_positions,
                 os.path.join(site_supp_files_folder, "cell_positions.pkl"))
 

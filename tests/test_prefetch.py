@@ -75,3 +75,45 @@ def test_prefetcher_bounded_runahead():
     release.set()
     t.join(timeout=5)
     assert out == list(range(6))
+
+
+def test_async_writer_writes_all_and_bounds_queue(tmp_path):
+    import threading
+    import time
+
+    from dynamorph_tpu.io.prefetch import AsyncWriter
+
+    written = []
+    gate = threading.Event()
+
+    def slow_write(i):
+        gate.wait(5)
+        written.append(i)
+
+    w = AsyncWriter(depth=2)
+    w.submit(slow_write, 0)
+    w.submit(slow_write, 1)
+    # third submit must BLOCK until a slot frees (bounded memory)
+    t0 = time.perf_counter()
+    blocker = threading.Thread(target=lambda: w.submit(slow_write, 2))
+    blocker.start()
+    time.sleep(0.05)
+    assert blocker.is_alive()  # still blocked on the full queue
+    gate.set()
+    blocker.join(5)
+    w.close()
+    assert written == [0, 1, 2]  # single worker preserves order
+
+
+def test_async_writer_close_reraises(tmp_path):
+    import pytest
+
+    from dynamorph_tpu.io.prefetch import AsyncWriter
+
+    def boom():
+        raise RuntimeError("disk full")
+
+    w = AsyncWriter()
+    w.submit(boom)
+    with pytest.raises(RuntimeError, match="disk full"):
+        w.close()
