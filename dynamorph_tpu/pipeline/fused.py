@@ -47,7 +47,8 @@ from ..io.pickles import save_pickle
 from ..io.sites import site_supp_folder
 from ..ops.patch import (median_background, pack_mask_bits,
                          scatter_label_map)
-from ..track.clustering import cluster_foreground_positions
+from ..track.clustering import (cluster_foreground_positions,
+                                save_instance_map)
 from .patch import (_round_up, extract_frame_site_data,
                     filter_boundary_cells)
 
@@ -132,10 +133,14 @@ def process_site_seg_patch_fused(
             map_path = os.path.join(site_supp_files_folder,
                                     "segmentation_%d.png" % t_point)
             res = cluster_foreground_positions(
-                positions, (x_size, y_size), ct_thr=ct_thr, instance_map=True,
-                map_path=map_path, dbscan_thr=dbscan_thr)
+                positions, (x_size, y_size), ct_thr=ct_thr,
+                instance_map=False, dbscan_thr=dbscan_thr)
             all_cells, positions, positions_labels = res
             cell_pixel_assignments[t_point] = (positions, positions_labels)
+            # instance-map PNG renders on the writer thread (OO matplotlib,
+            # no pyplot globals) while the next frame runs on device
+            writer.submit(save_instance_map, all_cells, positions,
+                          positions_labels, (x_size, y_size), map_path)
 
             kept_cells = filter_boundary_cells(all_cells, half, x_size, y_size,
                                                skip_boundary)

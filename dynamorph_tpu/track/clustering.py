@@ -114,27 +114,32 @@ def cluster_foreground_positions(positions: np.ndarray,
 def save_instance_map(cell_positions, positions, positions_labels,
                       shape, map_path: str) -> None:
     """Instance map PNG, cells colored by id%10
-    (reference instance_clustering.py:119-136)."""
-    import matplotlib
+    (reference instance_clustering.py:119-136).
 
-    matplotlib.use("AGG")
-    import matplotlib.pyplot as plt
+    Uses the object-oriented matplotlib API (no pyplot global state) so it
+    is safe to run on a background writer thread (io/prefetch.AsyncWriter)
+    while the main thread renders other figures."""
+    import matplotlib
     from copy import copy
 
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
+
     segmented = np.zeros(shape) - 1
-    kept = {cid for cid, _ in cell_positions}
     for cell_id, _ in cell_positions:
         pts = positions[positions_labels == cell_id]
         segmented[pts[:, 0], pts[:, 1]] = cell_id % 10
-    plt.clf()
+    fig = Figure()
+    FigureCanvasAgg(fig)
+    ax = fig.add_subplot(111)
     cmap = copy(matplotlib.colormaps["tab10"])
     cmap.set_under(color="k")
-    plt.imshow(segmented, cmap=cmap, vmin=-0.001, vmax=10.001)
+    ax.imshow(segmented, cmap=cmap, vmin=-0.001, vmax=10.001)
     font = {"color": "white", "size": 4}
     for cell_id, mean_pos in cell_positions:
-        plt.text(mean_pos[1], mean_pos[0], str(cell_id), fontdict=font)
-    plt.axis("off")
-    plt.savefig(map_path, dpi=300)
+        ax.text(mean_pos[1], mean_pos[0], str(cell_id), fontdict=font)
+    ax.axis("off")
+    fig.savefig(map_path, dpi=300)
 
 
 def process_site_instance_segmentation(raw_data: str, raw_data_segmented: str,

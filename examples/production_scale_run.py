@@ -82,20 +82,29 @@ def main(root, n_frames=12):
                                                   "model_ckpt")),
     )
 
-    print("== segmentation (trained U-Net, direct whole-frame mode) ==")
-    with timed("segmentation"):
-        segmentation(raw, supp, "", ["C5-Site_0"], config)
-
-    print("== instance clustering -> patches -> tracking -> assembly ==")
     from dynamorph_tpu.pipeline.patch import (build_trajectories,
                                               extract_patches,
                                               instance_segmentation)
     from dynamorph_tpu.pipeline.patch_vae import assemble_vae
 
-    with timed("instance_segmentation"):
-        instance_segmentation(raw, supp, ["C5-Site_0"], config)
-    with timed("extract_patches"):
-        extract_patches(raw, supp, ["C5-Site_0"], config)
+    fused = "--fused" in sys.argv
+    if fused:
+        print("== FUSED seg -> instance -> patch (device-resident) ==")
+        from dynamorph_tpu.pipeline.fused import seg_patch_fused
+
+        with timed("seg_patch_fused"):
+            seg_patch_fused(raw, supp, ["C5-Site_0"], config)
+    else:
+        print("== segmentation (trained U-Net, direct whole-frame mode) ==")
+        with timed("segmentation"):
+            segmentation(raw, supp, "", ["C5-Site_0"], config)
+
+        print("== instance clustering -> patches ==")
+        with timed("instance_segmentation"):
+            instance_segmentation(raw, supp, ["C5-Site_0"], config)
+        with timed("extract_patches"):
+            extract_patches(raw, supp, ["C5-Site_0"], config)
+    print("== tracking -> assembly ==")
     with timed("build_trajectories"):
         build_trajectories(raw, supp, ["C5-Site_0"], config)
     with timed("assemble_vae"):
