@@ -42,7 +42,7 @@ SEG_BASELINE_FRAMES_PER_SEC = 20.75
 TRAIN_BASELINE_PATCHES_PER_SEC = 10593.0
 # First scripted end-to-end process_vae measurement (2026-08-17, this
 # bench, relay-tunnel environment): pickle IO + transfer + encode + save.
-E2E_BASELINE_PATCHES_PER_SEC = 150.0
+E2E_BASELINE_PATCHES_PER_SEC = 264.1
 
 
 def bench_train_step():

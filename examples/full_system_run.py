@@ -71,6 +71,20 @@ def main(root):
     print(f"   foreground IoU vs ground truth: {iou:.3f}")
     assert iou > 0.5, "trained U-Net failed to segment the synthetic cells"
 
+    print("== 3b. fused device-resident front-end (same trained U-Net) ==")
+    # exercises pipeline/fused.py with a REAL trained model: seg + DBSCAN +
+    # patch extraction with the frame resident in HBM, into a side dir
+    from dynamorph_tpu.pipeline.fused import seg_patch_fused
+
+    supp_fused = os.path.join(root, "supp_fused")
+    seg_patch_fused(raw, supp_fused, ["C5-Site_0"], config,
+                    save_probabilities=False)
+    cp_fused = load_pickle(os.path.join(
+        supp_fused, "C5-supps", "C5-Site_0", "cell_positions.pkl"))
+    n_fused = len(cp_fused[0])
+    print(f"   fused front-end cells in frame 0: {n_fused} (truth: 4)")
+    assert n_fused >= 3, "fused front-end lost the synthetic cells"
+
     print("== 4-5. instance seg -> patches -> trajectories -> assemble ==")
     executed = run_pipeline(raw, supp, ["C5-Site_0"], config, stages=[
         "instance_segmentation", "extract_patches", "build_trajectories",
