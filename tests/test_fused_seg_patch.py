@@ -197,3 +197,38 @@ def test_orchestrator_fused_stage_substitution(tmp_path, monkeypatch):
     assert executed == ["segmentation", "instance_segmentation",
                         "extract_patches"]
     assert calls == []
+
+
+def test_seg_patch_fused_driver_with_real_unet(tmp_path):
+    """The site driver loads a real (randomly initialised) Segment U-Net
+    from saved weights and runs the fused stage end to end — covers model
+    construction/loading and per-site artifact writes (cell discovery with
+    a trained model is exercised by examples/full_system_run.py step 3b)."""
+    from dynamorph_tpu.config.schema import PipelineConfig
+    from dynamorph_tpu.pipeline.fused import seg_patch_fused
+    from dynamorph_tpu.seg.model import Segment
+
+    _make_site(tmp_path, "C5-Site_0")
+    model = Segment(input_shape=(2, 64, 64), n_classes=3)
+    weights = str(tmp_path / "w")
+    model.save(weights)
+
+    config = PipelineConfig()
+    si = config.segmentation_inference
+    si.channels = [0, 1]
+    si.window_size = 64
+    si.weights = weights
+    config.patch.channels = [0, 1]
+    config.patch.window_size = 32
+
+    supp = str(tmp_path / "supp")
+    seg_patch_fused(str(tmp_path), supp, ["C5-Site_0"], config, **CLUSTER)
+
+    site_supp = os.path.join(supp, "C5-supps", "C5-Site_0")
+    cp = load_pickle(os.path.join(site_supp, "cell_positions.pkl"))
+    pa = load_pickle(os.path.join(site_supp, "cell_pixel_assignments.pkl"))
+    assert set(cp) == set(pa) == {0, 1, 2}
+    for t in range(3):
+        assert os.path.exists(os.path.join(site_supp, f"stacks_{t}.pkl"))
+    # probability map written next to the site npy (driver default)
+    assert os.path.exists(str(tmp_path / "C5-Site_0_NNProbabilities.npy"))
