@@ -98,3 +98,41 @@ def test_segmentation_driver_survives_bad_site(tmp_path, caplog, rng):
     segmentation(str(raw), str(tmp_path), None, ["C5-Site_0"], config)
     assert any("Error in predicting site" in r.message
                for r in caplog.records)
+
+
+def test_fused_driver_survives_bad_site(tmp_path, caplog, rng):
+    """The fused seg->patch driver degrades per site like the staged
+    drivers (reference pipeline/segmentation.py:76-86): a corrupt site
+    logs an error and the next site still processes."""
+    import logging
+
+    import numpy as np
+
+    from dynamorph_tpu.config.schema import PipelineConfig
+    from dynamorph_tpu.pipeline.fused import seg_patch_fused
+    from dynamorph_tpu.seg.model import Segment
+
+    # good site + corrupt site (wrong ndim)
+    good = np.zeros((1, 2, 1, 64, 64), np.uint16)
+    np.save(tmp_path / "C5-Site_0.npy", good)
+    np.save(tmp_path / "C5-Site_1.npy", np.zeros((4, 4), np.uint16))
+
+    model = Segment(input_shape=(2, 64, 64), n_classes=3)
+    weights = str(tmp_path / "w")
+    model.save(weights)
+    config = PipelineConfig()
+    config.segmentation_inference.channels = [0, 1]
+    config.segmentation_inference.window_size = 64
+    config.segmentation_inference.weights = weights
+    config.patch.window_size = 32
+
+    supp = str(tmp_path / "supp")
+    with caplog.at_level(logging.ERROR):
+        seg_patch_fused(str(tmp_path), supp, ["C5-Site_1", "C5-Site_0"],
+                        config)
+    assert "Error in fused seg->patch for site C5-Site_1" in caplog.text
+    # the good site still produced its artifacts
+    import os
+
+    assert os.path.exists(os.path.join(supp, "C5-supps", "C5-Site_0",
+                                       "cell_positions.pkl"))
