@@ -11,6 +11,7 @@ U-Net forwards per frame fused into 6 device calls.
 """
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional, Sequence
 
@@ -58,6 +59,20 @@ def _predict_tiles(model, tiles: np.ndarray, batch_bucket: int = 8):
     return out[:n]
 
 
+@functools.lru_cache(maxsize=8)
+def _scaled_predict_fn(predict):
+    """Jitted device-side cast + [0,1] scale + predict, cached per model
+    predict function so repeated sites reuse one compiled program (every
+    fresh jit wrapper would retrace)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.constants import CHANNEL_MAX
+
+    return jax.jit(
+        lambda p, s, x: predict(p, s, x.astype(jnp.float32) / CHANNEL_MAX))
+
+
 def predict_whole_map_direct(inputs: np.ndarray, model,
                              frame_batch: int = 4) -> np.ndarray:
     """Whole-frame segmentation, frames batched through one device pass.
@@ -95,20 +110,21 @@ def predict_whole_map_direct(inputs: np.ndarray, model,
             return jax.device_put(jnp.asarray(batch), sh)
 
     # model._predict_fn is jitted once at construction; jit handles the new
-    # whole-frame input shape as a separate cache entry
-    from ..core.constants import CHANNEL_MAX
-
-    predict = model._predict_fn
+    # whole-frame input shape as a separate cache entry. The [0,1] scaling
+    # happens ON DEVICE so uint16 stacks upload at half the bytes of f32
+    # (cast-then-divide in f32 is bit-identical to the former host path).
+    predict_scaled = _scaled_predict_fn(model._predict_fn)
     outs = []
     for t0 in range(0, n_frame, frame_batch):
-        batch = inputs[t0: t0 + frame_batch, :, 0].astype(np.float32) / \
-            CHANNEL_MAX
+        batch = inputs[t0: t0 + frame_batch, :, 0]
+        if batch.dtype == np.float64:
+            batch = batch.astype(np.float32)  # don't upload f64
         n_b = len(batch)
         if n_b < frame_batch:
             batch = np.concatenate(
                 [batch, np.zeros((frame_batch - n_b,) + batch.shape[1:],
                                  batch.dtype)], 0)
-        probs = predict(model.params, model.state, put(batch))
+        probs = predict_scaled(model.params, model.state, put(batch))
         outs.append(np.asarray(probs)[:n_b])
     return np.concatenate(outs, 0)
 
