@@ -101,10 +101,11 @@ def main(config_path: str):
         # forces a fresh optimizer/epoch even if a checkpoint exists.
         params = state = None
         if tr.start_model_path:
-            from ..train.checkpoint import restore_checkpoint
+            # handles both an orbax checkpoint dir and a reference-format
+            # torch model.pt (same dispatch as the latent-encoding CLI)
+            from ..pipeline.patch_vae import _load_model_weights
 
-            ck = restore_checkpoint(tr.start_model_path)
-            params, state = ck["params"], ck["state"]
+            params, state = _load_model_weights(model, tr.start_model_path)
         train_vqvae(model, dataset, model_dir,
                     relation_mat=relation_mat, mask=mask,
                     n_epochs=tr.n_epochs, lr=tr.learn_rate,

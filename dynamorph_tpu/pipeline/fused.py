@@ -59,6 +59,54 @@ log = logging.getLogger(__name__)
 _COORD_BUCKET = 1 << 16
 
 
+def _site_programs(model, seg_ch, patch_ch, fg_thr, shape):
+    """The two jitted per-frame programs, cached ON THE MODEL instance so
+    every site of a plate reuses one compiled U-Net program — a fresh jit
+    closure per site would recompile the whole network each time (~15-40 s
+    per program through this environment's relay). The cache dies with the
+    model, so no device buffers outlive it."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.constants import CHANNEL_MAX
+
+    key = (seg_ch, patch_ch, fg_thr, shape)
+    try:
+        cache = model.__dict__.setdefault("_fused_program_cache", {})
+    except AttributeError:        # exotic model without __dict__: no cache
+        cache = {}
+    if key in cache:
+        return cache[key]
+
+    predict = model._predict_fn
+    x_size, y_size = shape
+
+    @jax.jit
+    def seg_frame(params, state, raw_u16):
+        """(C, H, W) uint16 -> (f32 frame, probs, packed fg mask).
+
+        One program: the frame is cast once and stays in HBM for the patch
+        stage; foreground = mean-over-z background prob < fg_thr
+        (reference instance_clustering.py:63-65)."""
+        raw_f = raw_u16.astype(jnp.float32)
+        seg_in = raw_f[jnp.array(seg_ch)] / CHANNEL_MAX
+        probs = predict(params, state, seg_in[None])[0]  # (K, Z, H, W)
+        fg = jnp.mean(probs[0], axis=0) < fg_thr
+        return raw_f, probs, pack_mask_bits(fg)
+
+    @jax.jit
+    def patch_inputs(raw_f, probs, coords, labels):
+        """Scatter the host DBSCAN labels into the device label map and
+        compute the median background fill — both from HBM residents."""
+        lab = scatter_label_map(coords, labels, (x_size, y_size))
+        raw2d = raw_f[jnp.array(patch_ch)]
+        bg_fill = median_background(raw2d, probs[0, 0])
+        return lab, raw2d, bg_fill
+
+    cache[key] = (seg_frame, patch_inputs)
+    return cache[key]
+
+
 def process_site_seg_patch_fused(
         site_path: str, model, site_supp_files_folder: str,
         seg_channels: Sequence[int], patch_channels: Sequence[int],
@@ -88,29 +136,8 @@ def process_site_seg_patch_fused(
     half = window_size // 2
     seg_ch = tuple(int(c) for c in seg_channels)
     patch_ch = tuple(int(c) for c in patch_channels)
-    predict = model._predict_fn
-
-    @jax.jit
-    def seg_frame(params, state, raw_u16):
-        """(C, H, W) uint16 -> (f32 frame, probs, packed fg mask).
-
-        One program: the frame is cast once and stays in HBM for the patch
-        stage; foreground = mean-over-z background prob < fg_thr
-        (reference instance_clustering.py:63-65)."""
-        raw_f = raw_u16.astype(jnp.float32)
-        seg_in = raw_f[jnp.array(seg_ch)] / CHANNEL_MAX
-        probs = predict(params, state, seg_in[None])[0]  # (K, Z, H, W)
-        fg = jnp.mean(probs[0], axis=0) < fg_thr
-        return raw_f, probs, pack_mask_bits(fg)
-
-    @jax.jit
-    def patch_inputs(raw_f, probs, coords, labels):
-        """Scatter the host DBSCAN labels into the device label map and
-        compute the median background fill — both from HBM residents."""
-        lab = scatter_label_map(coords, labels, (x_size, y_size))
-        raw2d = raw_f[jnp.array(patch_ch)]
-        bg_fill = median_background(raw2d, probs[0, 0])
-        return lab, raw2d, bg_fill
+    seg_frame, patch_inputs = _site_programs(
+        model, seg_ch, patch_ch, float(fg_thr), (int(x_size), int(y_size)))
 
     from ..io.prefetch import AsyncWriter
 
@@ -138,9 +165,13 @@ def process_site_seg_patch_fused(
             all_cells, positions, positions_labels = res
             cell_pixel_assignments[t_point] = (positions, positions_labels)
             # instance-map PNG renders on the writer thread (OO matplotlib,
-            # no pyplot globals) while the next frame runs on device
-            writer.submit(save_instance_map, all_cells, positions,
-                          positions_labels, (x_size, y_size), map_path)
+            # no pyplot globals) while the next frame runs on device; the
+            # staged path writes no PNG when clustering early-outs on a
+            # near-empty frame (track/clustering.py MIN_FG_PIXELS), so
+            # neither do we — identical artifact trees
+            if len(positions):
+                writer.submit(save_instance_map, all_cells, positions,
+                              positions_labels, (x_size, y_size), map_path)
 
             kept_cells = filter_boundary_cells(all_cells, half, x_size, y_size,
                                                skip_boundary)
@@ -173,11 +204,6 @@ def process_site_seg_patch_fused(
 
     finally:
         writer.close()
-    save_pickle(cell_positions,
-                os.path.join(site_supp_files_folder, "cell_positions.pkl"))
-    save_pickle(cell_pixel_assignments,
-                os.path.join(site_supp_files_folder,
-                             "cell_pixel_assignments.pkl"))
 
     if prob_frames is not None:
         from ..seg.data import plot_prediction_prob
@@ -196,12 +222,26 @@ def process_site_seg_patch_fused(
         plot_prediction_prob(total[0],
                              os.path.splitext(site_path)[0] + "_NNpred.png")
 
+    # cell_positions.pkl is the resume/skip completion marker (orchestrator
+    # + the per-site skip below), so it is written LAST: a crash anywhere
+    # above leaves the site unmarked and it reprocesses cleanly.
+    save_pickle(cell_pixel_assignments,
+                os.path.join(site_supp_files_folder,
+                             "cell_pixel_assignments.pkl"))
+    save_pickle(cell_positions,
+                os.path.join(site_supp_files_folder, "cell_positions.pkl"))
+
 
 def seg_patch_fused(raw_folder: str, supp_folder: str,
-                    sites: Sequence[str], config, **kwargs) -> None:
+                    sites: Sequence[str], config, rerun: bool = True,
+                    **kwargs) -> None:
     """Driver over sites: loads the U-Net once, then runs the fused
     device-resident stage per site with the staged drivers' per-site
-    failure tolerance (reference pipeline/segmentation.py:76-86)."""
+    failure tolerance (reference pipeline/segmentation.py:76-86).
+
+    ``rerun=False`` skips sites whose ``cell_positions.pkl`` (written last,
+    the completion marker) already exists — same per-site resume semantics
+    as the staged ``instance_segmentation`` driver."""
     from ..core.profiling import stage_timer
     from ..seg.model import Segment
 
@@ -222,6 +262,11 @@ def seg_patch_fused(raw_folder: str, supp_folder: str,
             log.error("Site data not found %s", site_path)
             continue
         supp = site_supp_folder(supp_folder, site)
+        if not rerun and os.path.exists(
+                os.path.join(supp, "cell_positions.pkl")):
+            log.info("Found previously saved fused outputs for %s, skip",
+                     site)
+            continue
         os.makedirs(supp, exist_ok=True)
         try:
             with stage_timer("seg_patch_fused", site=site):

@@ -79,7 +79,8 @@ def run_pipeline(raw_dir: str, supp_dir: str, sites: Sequence[str], config,
         from .fused import seg_patch_fused
 
         def _fused_all():
-            seg_patch_fused(raw_dir, supp_dir, sites, config)
+            seg_patch_fused(raw_dir, supp_dir, sites, config,
+                            rerun=not resume)
 
         run("seg_patch_fused", _fused_all,
             skip_if=lambda: all(

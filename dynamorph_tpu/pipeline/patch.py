@@ -174,11 +174,13 @@ def process_site_extract_patches(site_path: str, site_segmentation_path: str,
 def save_single_cell_im(output_mat, masked_output_mat, tm, tm2,
                         im_path: str) -> None:
     """4-panel patch figure: unmasked, masked, target mask, enlarged mask
-    (reference extract_patches.py:282-311)."""
-    import matplotlib
+    (reference extract_patches.py:282-311).
 
-    matplotlib.use("AGG")
-    import matplotlib.pyplot as plt
+    Object-oriented matplotlib (no pyplot global state) so it can run on
+    the main thread while instance-map PNGs render on the background
+    writer thread (io/prefetch.AsyncWriter)."""
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
 
     from ..io.images import im_adjust
 
@@ -190,15 +192,14 @@ def save_single_cell_im(output_mat, masked_output_mat, tm, tm2,
             im[im == 0] = np.nanmin(nz)
     ims = [im_adjust(im_phase), im_adjust(im_phase_masked), tm, tm2]
     names = ["output_mat", "masked_output_mat", "tm", "tm2"]
-    fig, ax = plt.subplots(2, 2, squeeze=False)
-    ax = ax.flatten()
-    fig.set_size_inches((15, 10))
-    for a, im, name in zip(ax, ims, names):
+    fig = Figure(figsize=(15, 10))
+    FigureCanvasAgg(fig)
+    for i, (im, name) in enumerate(zip(ims, names)):
+        a = fig.add_subplot(2, 2, i + 1)
         a.imshow(np.squeeze(im), cmap="gray")
         a.axis("off")
         a.set_title(name, fontsize=12)
     fig.savefig(im_path, dpi=300, bbox_inches="tight")
-    plt.close(fig)
 
 
 def get_cell_rect_angle(tm: np.ndarray) -> float:

@@ -11,7 +11,6 @@ U-Net forwards per frame fused into 6 device calls.
 """
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional, Sequence
 
@@ -59,18 +58,28 @@ def _predict_tiles(model, tiles: np.ndarray, batch_bucket: int = 8):
     return out[:n]
 
 
-@functools.lru_cache(maxsize=8)
-def _scaled_predict_fn(predict):
-    """Jitted device-side cast + [0,1] scale + predict, cached per model
-    predict function so repeated sites reuse one compiled program (every
-    fresh jit wrapper would retrace)."""
+def _scaled_predict_fn(model):
+    """Jitted device-side cast + [0,1] scale + predict, cached ON the model
+    instance so repeated sites reuse one compiled program (a fresh jit
+    wrapper per call would retrace) without a module-level cache pinning
+    dead models' device buffers for the process lifetime."""
+    try:
+        return model._scaled_predict
+    except AttributeError:
+        pass
     import jax
     import jax.numpy as jnp
 
     from ..core.constants import CHANNEL_MAX
 
-    return jax.jit(
+    predict = model._predict_fn
+    fn = jax.jit(
         lambda p, s, x: predict(p, s, x.astype(jnp.float32) / CHANNEL_MAX))
+    try:
+        model._scaled_predict = fn
+    except AttributeError:        # model without __dict__: skip caching
+        pass
+    return fn
 
 
 def predict_whole_map_direct(inputs: np.ndarray, model,
@@ -113,7 +122,7 @@ def predict_whole_map_direct(inputs: np.ndarray, model,
     # whole-frame input shape as a separate cache entry. The [0,1] scaling
     # happens ON DEVICE so uint16 stacks upload at half the bytes of f32
     # (cast-then-divide in f32 is bit-identical to the former host path).
-    predict_scaled = _scaled_predict_fn(model._predict_fn)
+    predict_scaled = _scaled_predict_fn(model)
     outs = []
     for t0 in range(0, n_frame, frame_batch):
         batch = inputs[t0: t0 + frame_batch, :, 0]

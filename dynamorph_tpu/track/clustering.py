@@ -19,6 +19,10 @@ import numpy as np
 
 from ..io.pickles import save_pickle
 
+# Frames with fewer foreground pixels than this early-out with no cells and
+# no instance-map PNG (reference instance_clustering.py:69-70).
+MIN_FG_PIXELS = 1000
+
 
 def within_range(r, pos) -> bool:
     """Is pos inside window r = ((x_lo, x_hi), (y_lo, y_hi))
@@ -79,7 +83,7 @@ def cluster_foreground_positions(positions: np.ndarray,
     map (reference instance_clustering.py:58-137 minus the thresholding)."""
     from ..native.dbscan import grid_dbscan
 
-    if len(positions) < 1000:
+    if len(positions) < MIN_FG_PIXELS:
         return [], np.zeros((0, 2), dtype=int), np.zeros((0,), dtype=int)
 
     positions_labels = grid_dbscan(positions, eps=dbscan_thr[0],

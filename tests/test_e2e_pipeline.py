@@ -272,3 +272,50 @@ def test_run_training_cli_vae_network_and_precision(tmp_path, rng,
 
     assert isinstance(models[0], VAEModel)
     assert models[1].vq_train_precision == "highest"
+
+
+def test_run_training_cli_vqvae_start_from_torch_pt(tmp_path, rng,
+                                                    monkeypatch):
+    """start_model_path may be a reference-format torch model.pt — the CLI
+    dispatches through the same loader as the latent-encoding path."""
+    import yaml
+
+    import jax
+
+    from dynamorph_tpu.cli import run_training as cli_train
+    from dynamorph_tpu.models import VQVAEz16
+    from dynamorph_tpu.models.torch_export import (export_vqvae_z16,
+                                                   save_torch_checkpoint)
+    from dynamorph_tpu.train import trainer as trainer_mod
+
+    raw = tmp_path / "raw"
+    weights = tmp_path / "weights"
+    raw.mkdir()
+    _write_training_pickles(raw, rng)
+
+    model = VQVAEz16(num_embeddings=16, num_hiddens=8,
+                     num_residual_hiddens=8)
+    p0, s0 = jax.jit(model.init)(jax.random.PRNGKey(7))
+    pt_path = str(tmp_path / "start.pt")
+    save_torch_checkpoint(export_vqvae_z16(p0, s0), pt_path)
+
+    seen = {}
+
+    def spy(model, *args, **kwargs):
+        seen["params"] = kwargs.get("params")
+        return None, None, []
+
+    monkeypatch.setattr(cli_train, "train_vqvae", spy)
+    cfg = {"training": {
+        "network": "VQ_VAE_z16", "raw_dirs": [str(raw)],
+        "supp_dirs": [str(raw)], "weights_dirs": [str(weights)],
+        "num_inputs": 2, "num_hiddens": 8, "num_residual_hiddens": 8,
+        "num_embeddings": 16, "n_epochs": 1, "batch_size": 16,
+        "start_model_path": pt_path}}
+    p = tmp_path / "cfg.yml"
+    p.write_text(yaml.safe_dump(cfg))
+    cli_train.main(str(p))
+    # initial params came from the torch file (codebook matches exactly)
+    got = np.asarray(seen["params"]["vq"]["codebook"])
+    np.testing.assert_allclose(got, np.asarray(p0["vq"]["codebook"]),
+                               rtol=1e-6)

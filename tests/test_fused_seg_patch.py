@@ -14,7 +14,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from dynamorph_tpu.io.pickles import load_pickle
+from dynamorph_tpu.io.pickles import load_pickle, save_pickle
 
 # small-frame clustering params (reference defaults assume 2048^2 frames)
 CLUSTER = dict(ct_thr=(50, 2000), dbscan_thr=(3, 10))
@@ -232,3 +232,102 @@ def test_seg_patch_fused_driver_with_real_unet(tmp_path):
         assert os.path.exists(os.path.join(site_supp, f"stacks_{t}.pkl"))
     # probability map written next to the site npy (driver default)
     assert os.path.exists(str(tmp_path / "C5-Site_0_NNProbabilities.npy"))
+
+
+def test_fused_programs_cached_per_model():
+    """The per-frame jitted programs are cached on the model instance —
+    repeated sites must NOT rebuild jit closures (each fresh closure means
+    a full U-Net recompile, ~15-40s through the remote-compile relay)."""
+    from dynamorph_tpu.pipeline.fused import _site_programs
+
+    m = StubSeg()
+    a = _site_programs(m, (0, 1), (0, 1), 0.3, (64, 64))
+    b = _site_programs(m, (0, 1), (0, 1), 0.3, (64, 64))
+    assert a[0] is b[0] and a[1] is b[1]
+    # different config -> different programs; different model -> own cache
+    c = _site_programs(m, (0,), (0, 1), 0.3, (64, 64))
+    assert c[0] is not a[0]
+    m2 = StubSeg()
+    d = _site_programs(m2, (0, 1), (0, 1), 0.3, (64, 64))
+    assert d[0] is not a[0]
+
+
+def test_fused_completion_marker_written_last(tmp_path, monkeypatch):
+    """cell_positions.pkl is the resume marker: a crash during the trailing
+    NNProbabilities save must leave the site unmarked so it reprocesses."""
+    from dynamorph_tpu.pipeline.fused import process_site_seg_patch_fused
+
+    site = _make_site(tmp_path, "C5-Site_0")
+    supp = str(tmp_path / "supp")
+
+    real_save = np.save
+
+    def boom(path, *a, **k):
+        if "NNProbabilities" in str(path):
+            raise OSError("disk full")
+        return real_save(path, *a, **k)
+
+    monkeypatch.setattr(np, "save", boom)
+    with pytest.raises(OSError, match="disk full"):
+        process_site_seg_patch_fused(
+            site, StubSeg(), supp, seg_channels=[0, 1],
+            patch_channels=[0, 1], window_size=32, **CLUSTER)
+    assert not os.path.exists(os.path.join(supp, "cell_positions.pkl"))
+
+
+def test_fused_driver_rerun_false_skips_completed(tmp_path, monkeypatch):
+    """rerun=False skips sites whose completion marker exists (same
+    semantics as the staged instance_segmentation driver)."""
+    from dynamorph_tpu.config.schema import PipelineConfig
+    from dynamorph_tpu.pipeline import fused as fused_mod
+
+    _make_site(tmp_path, "C5-Site_0")
+    supp = tmp_path / "supp"
+    site_supp = supp / "C5-supps" / "C5-Site_0"
+    site_supp.mkdir(parents=True)
+    save_pickle({}, str(site_supp / "cell_positions.pkl"))
+
+    called = []
+    monkeypatch.setattr(fused_mod, "process_site_seg_patch_fused",
+                        lambda *a, **k: called.append(a))
+    monkeypatch.setattr(
+        fused_mod, "Segment",
+        lambda **k: StubSeg(), raising=False)
+
+    config = PipelineConfig()
+    config.segmentation_inference.weights = "unused"
+    # bypass the real Segment construction/load inside the driver
+    import dynamorph_tpu.seg.model as segmod
+
+    class _FakeSegment:
+        def __init__(self, **kw):
+            pass
+
+        def load(self, path):
+            pass
+
+    monkeypatch.setattr(segmod, "Segment", _FakeSegment)
+    fused_mod.seg_patch_fused(str(tmp_path), str(supp), ["C5-Site_0"],
+                              config, rerun=False)
+    assert called == []
+
+
+def test_fused_no_png_for_empty_frames(tmp_path):
+    """Frames below the foreground early-out write no instance-map PNG —
+    identical artifact tree to the staged path."""
+    from dynamorph_tpu.pipeline.fused import process_site_seg_patch_fused
+
+    os.makedirs(tmp_path, exist_ok=True)
+    # all-background site: no bright blobs -> zero foreground pixels
+    stack = np.full((2, 2, 1, 64, 64), 10000, np.uint16)
+    site = str(tmp_path / "C5-Site_0.npy")
+    np.save(site, stack)
+    supp = str(tmp_path / "supp")
+    process_site_seg_patch_fused(
+        site, StubSeg(), supp, seg_channels=[0, 1], patch_channels=[0, 1],
+        window_size=32, save_probabilities=False, **CLUSTER)
+    for t in range(2):
+        assert not os.path.exists(os.path.join(supp,
+                                               f"segmentation_{t}.png"))
+        # empty stacks pickles still written (staged parity)
+        assert os.path.exists(os.path.join(supp, f"stacks_{t}.pkl"))
