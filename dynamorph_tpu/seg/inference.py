@@ -23,13 +23,12 @@ def _predict_tiles(model, tiles: np.ndarray, batch_bucket: int = 8):
     """Predict a stack of (C, Z, x, y) tiles in one padded device batch;
     with multiple local devices the tile batch is sharded over the mesh.
 
-    Intensities scale to [0, 1] here: the reference's tile path goes through
-    ``preprocess`` which divides by CHANNEL_MAX (NNsegmentation/data.py:312,
-    :412-425); raw ndarray input to Segment.predict is unscaled by contract.
+    Intensities scale to [0, 1] on DEVICE: the reference's tile path goes
+    through ``preprocess`` which divides by CHANNEL_MAX
+    (NNsegmentation/data.py:312, :412-425); doing the divide after upload
+    keeps uint16 tiles at half the transfer bytes.
     """
     import jax
-
-    from ..core.constants import CHANNEL_MAX
 
     n = len(tiles)
     n_dev = len(jax.devices())
@@ -38,10 +37,15 @@ def _predict_tiles(model, tiles: np.ndarray, batch_bucket: int = 8):
         batch_bucket = max(batch_bucket, n_dev)
         batch_bucket -= batch_bucket % n_dev
     n_pad = ((n + batch_bucket - 1) // batch_bucket) * batch_bucket
-    tiles = tiles.astype(np.float32) / CHANNEL_MAX
+    # keep the raw dtype — uint16 tiles upload at half the bytes of f32;
+    # the [0,1] CHANNEL_MAX scaling runs on device (_scaled_predict_fn,
+    # bit-identical f32 divide)
+    if tiles.dtype == np.float64:
+        tiles = tiles.astype(np.float32)
     if n_pad != n:
         tiles = np.concatenate(
             [tiles, np.zeros((n_pad - n,) + tiles.shape[1:], tiles.dtype)], 0)
+    x = tiles.reshape((-1,) + model.input_shape)
     if n_dev > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -50,12 +54,11 @@ def _predict_tiles(model, tiles: np.ndarray, batch_bucket: int = 8):
         # device_put the numpy array with the sharding directly: each shard
         # transfers straight to its device (staging via jnp.asarray would
         # land the whole batch on device 0 first, then reshard)
-        x = jax.device_put(tiles.reshape((-1,) + model.input_shape),
-                           NamedSharding(make_mesh(), P("data")))
-        y = model._predict_fn(model.params, model.state, x)
-        return np.asarray(y)[:n]
-    out = model.predict(tiles)     # (n_pad, n_classes, 1, x, y)
-    return out[:n]
+        x = jax.device_put(x, NamedSharding(make_mesh(), P("data")))
+    y = _scaled_predict_fn(model)(model.params, model.state, x)
+    y = np.asarray(y)[:n]
+    assert y.shape[1:] == (model.n_classes, 1) + tuple(model.input_shape[1:])
+    return y
 
 
 def _scaled_predict_fn(model):
