@@ -107,6 +107,23 @@ def _site_programs(model, seg_ch, patch_ch, fg_thr, shape):
     return cache[key]
 
 
+def _params_on_device(model, device):
+    """Replicate the model's params/state onto ``device`` once, cached on
+    the model (site-parallel workers each pin one device; re-copying ~100 MB
+    of U-Net weights per site would dominate)."""
+    if device is None:
+        return model.params, model.state
+    import jax
+
+    try:
+        cache = model.__dict__.setdefault("_params_by_device", {})
+    except AttributeError:
+        cache = {}
+    if device not in cache:
+        cache[device] = jax.device_put((model.params, model.state), device)
+    return cache[device]
+
+
 def process_site_seg_patch_fused(
         site_path: str, model, site_supp_files_folder: str,
         seg_channels: Sequence[int], patch_channels: Sequence[int],
@@ -115,12 +132,16 @@ def process_site_seg_patch_fused(
         fg_thr: float = 0.3, ct_thr: Tuple[int, int] = (500, 12000),
         dbscan_thr: Tuple[int, int] = (10, 250),
         save_probabilities: bool = True,
-        out_prob_path: Optional[str] = None) -> None:
+        out_prob_path: Optional[str] = None, device=None) -> None:
     """Segment + cluster + extract patches for one site with the frame and
     probability map resident in HBM throughout (see module docstring).
 
     ``model`` is a seg.Segment (or anything with ``params``/``state`` and a
     jittable ``_predict_fn(params, state, (B, C, H, W)) -> (B, K, Z, H, W)``).
+
+    ``device``: optional jax.Device to pin this site's programs to —
+    site-parallel workers give each site its own chip (see
+    ``seg_patch_fused``); None uses the default device.
     """
     import jax
     import jax.numpy as jnp
@@ -138,6 +159,11 @@ def process_site_seg_patch_fused(
     patch_ch = tuple(int(c) for c in patch_channels)
     seg_frame, patch_inputs = _site_programs(
         model, seg_ch, patch_ch, float(fg_thr), (int(x_size), int(y_size)))
+    params, state = _params_on_device(model, device)
+
+    def put(x):
+        return jax.device_put(x, device) if device is not None \
+            else jax.device_put(x)
 
     from ..io.prefetch import AsyncWriter
 
@@ -149,8 +175,7 @@ def process_site_seg_patch_fused(
     try:
         for t_point in range(n_frames):
             raw_u16 = np.ascontiguousarray(image_stack[t_point, :, 0])
-            raw_f, probs, packed = seg_frame(model.params, model.state,
-                                             jax.device_put(raw_u16))
+            raw_f, probs, packed = seg_frame(params, state, put(raw_u16))
 
             # host: unpack the bitmask -> row-major foreground coords (same
             # order as np.where in the staged path) -> DBSCAN + filters
@@ -189,7 +214,7 @@ def process_site_seg_patch_fused(
                 coords[:n] = positions
                 labs[:n] = positions_labels
                 lab_dev, raw2d_dev, bg_fill = patch_inputs(
-                    raw_f, probs, jax.device_put(coords), jax.device_put(labs))
+                    raw_f, probs, put(coords), put(labs))
                 site_data = extract_frame_site_data(
                     raw2d_dev, lab_dev, bg_fill, kept_cells,
                     site_supp_files_folder, t_point, window_size=window_size,
@@ -234,6 +259,7 @@ def process_site_seg_patch_fused(
 
 def seg_patch_fused(raw_folder: str, supp_folder: str,
                     sites: Sequence[str], config, rerun: bool = True,
+                    site_parallelism: Optional[int] = None,
                     **kwargs) -> None:
     """Driver over sites: loads the U-Net once, then runs the fused
     device-resident stage per site with the staged drivers' per-site
@@ -241,7 +267,17 @@ def seg_patch_fused(raw_folder: str, supp_folder: str,
 
     ``rerun=False`` skips sites whose ``cell_positions.pkl`` (written last,
     the completion marker) already exists — same per-site resume semantics
-    as the staged ``instance_segmentation`` driver."""
+    as the staged ``instance_segmentation`` driver.
+
+    ``site_parallelism``: number of sites processed concurrently, each
+    pinned to its own local device (worker threads; the TPU-native analog
+    of the reference's process-per-GPU fan-out, run_segmentation.py:74-84).
+    Default: min(local device count, number of sites) — one worker per
+    chip. Host stages (DBSCAN, pickle writes) release the GIL or run on
+    per-site writer threads, so device compute genuinely overlaps.
+    """
+    import jax
+
     from ..core.profiling import stage_timer
     from ..seg.model import Segment
 
@@ -256,17 +292,22 @@ def seg_patch_fused(raw_folder: str, supp_folder: str,
         raise ValueError("segmentation weights path must be provided")
     model.load(si.weights)
 
-    for site in sites:
+    devices = jax.local_devices()
+    k = site_parallelism if site_parallelism is not None \
+        else min(len(devices), len(sites))
+    k = max(1, min(k, len(devices), max(len(sites), 1)))
+
+    def run_site(site, device):
         site_path = os.path.join(raw_folder, f"{site}.npy")
         if not os.path.exists(site_path):
             log.error("Site data not found %s", site_path)
-            continue
+            return
         supp = site_supp_folder(supp_folder, site)
         if not rerun and os.path.exists(
                 os.path.join(supp, "cell_positions.pkl")):
             log.info("Found previously saved fused outputs for %s, skip",
                      site)
-            continue
+            return
         os.makedirs(supp, exist_ok=True)
         try:
             with stage_timer("seg_patch_fused", site=site):
@@ -276,7 +317,25 @@ def seg_patch_fused(raw_folder: str, supp_folder: str,
                     patch_channels=config.patch.channels,
                     window_size=config.patch.window_size,
                     save_fig=config.patch.save_fig,
-                    skip_boundary=config.patch.skip_boundary, **kwargs)
+                    skip_boundary=config.patch.skip_boundary,
+                    device=device, **kwargs)
         except Exception as ex:
             log.error(ex)
             log.error("Error in fused seg->patch for site %s", site)
+
+    if k <= 1:
+        for site in sites:
+            run_site(site, None)
+        return
+    # warm the compile caches once on the first site's device before
+    # fanning out: concurrent first-compiles of the same program would
+    # race through the compile path k times
+    from concurrent.futures import ThreadPoolExecutor
+
+    first, rest = sites[0], sites[1:]
+    run_site(first, devices[0])
+    with ThreadPoolExecutor(max_workers=k) as pool:
+        futs = [pool.submit(run_site, site, devices[(i + 1) % k])
+                for i, site in enumerate(rest)]
+        for f in futs:
+            f.result()

@@ -331,3 +331,57 @@ def test_fused_no_png_for_empty_frames(tmp_path):
                                                f"segmentation_{t}.png"))
         # empty stacks pickles still written (staged parity)
         assert os.path.exists(os.path.join(supp, f"stacks_{t}.pkl"))
+
+
+def test_fused_site_parallel_matches_sequential(tmp_path, monkeypatch):
+    """Site-parallel fused processing (one worker per local device, the
+    process-per-GPU analog) produces identical artifacts to the sequential
+    path."""
+    from dynamorph_tpu.config.schema import PipelineConfig
+    from dynamorph_tpu.pipeline import fused as fused_mod
+    import dynamorph_tpu.seg.model as segmod
+
+    sites = [f"C5-Site_{i}" for i in range(4)]
+    for d in ("par", "seq"):
+        for s in sites:
+            _make_site(tmp_path / d, s)
+
+    class _StubSegment(StubSeg):
+        def __init__(self, **kw):
+            pass
+
+        def load(self, path):
+            pass
+
+    monkeypatch.setattr(segmod, "Segment", _StubSegment)
+    config = PipelineConfig()
+    config.segmentation_inference.channels = [0, 1]
+    config.patch.channels = [0, 1]
+    config.patch.window_size = 32
+    config.segmentation_inference.weights = "unused"
+
+    fused_mod.seg_patch_fused(str(tmp_path / "par"), str(tmp_path / "par/s"),
+                              sites, config, site_parallelism=4, **CLUSTER)
+    fused_mod.seg_patch_fused(str(tmp_path / "seq"), str(tmp_path / "seq/s"),
+                              sites, config, site_parallelism=1, **CLUSTER)
+
+    for s in sites:
+        sp = os.path.join(str(tmp_path / "par/s"), "C5-supps", s)
+        sq = os.path.join(str(tmp_path / "seq/s"), "C5-supps", s)
+        cp_p = load_pickle(os.path.join(sp, "cell_positions.pkl"))
+        cp_q = load_pickle(os.path.join(sq, "cell_positions.pkl"))
+        assert cp_p.keys() == cp_q.keys()
+        total = 0
+        for t in cp_p:
+            assert len(cp_p[t]) == len(cp_q[t])
+            total += len(cp_p[t])
+            for (ia, pa), (ib, pb) in zip(cp_p[t], cp_q[t]):
+                assert ia == ib
+                np.testing.assert_array_equal(pa, pb)
+        assert total > 0
+        for t in range(3):
+            a = _stack_by_basename(sp, t)
+            b = _stack_by_basename(sq, t)
+            assert a.keys() == b.keys()
+            for key in a:
+                np.testing.assert_array_equal(a[key]["mat"], b[key]["mat"])
