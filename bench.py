@@ -343,6 +343,12 @@ def _emit(d):
 
 
 if __name__ == "__main__":
+    # persistent XLA compile cache: repeated bench runs skip the 15-40s
+    # per-program relay compiles (DYNAMORPH_COMPILE_CACHE=0 opts out)
+    sys.path.insert(0, ".")
+    from dynamorph_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     if "--train-only" in sys.argv:
         _emit(bench_train_step())
     elif "--encode-only" in sys.argv:

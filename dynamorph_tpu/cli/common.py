@@ -24,6 +24,12 @@ logging.basicConfig(
 
 def parse_method_config(choices: Sequence[str], default: Optional[str] = None,
                         require_method: bool = True):
+    # all CLIs route through here before any jit: enable the on-disk XLA
+    # compile cache so repeated stage invocations skip recompilation
+    # (DYNAMORPH_COMPILE_CACHE=0 opts out; core/compile_cache.py)
+    from ..core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("-m", "--method", type=str,
                         required=require_method and default is None,

@@ -17,6 +17,9 @@ from .common import resolve_sites
 
 
 def main():
+    from ..core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", type=str, required=True)
     parser.add_argument("--stages", nargs="*", default=None,

@@ -25,6 +25,9 @@ from ..train.triplet_data import TripletDataset, augment_img
 
 
 def main(config_path: str):
+    from ..core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     config = load_config(config_path)
     tr = config.training
 

@@ -195,3 +195,29 @@ def test_morphology_features_match_reference(rng):
     # findContours) — this is the incompatibility our port fixes
     with pytest.raises(Exception):
         ref.get_size(mask)
+
+
+def test_enable_persistent_compile_cache(tmp_path, monkeypatch):
+    import jax
+
+    from dynamorph_tpu.core.compile_cache import enable_persistent_cache
+
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        # explicit dir wins; dir is created
+        d = str(tmp_path / "xla_cache")
+        assert enable_persistent_cache(d) == d
+        assert os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+
+        # env var opt-out
+        monkeypatch.setenv("DYNAMORPH_COMPILE_CACHE", "off")
+        assert enable_persistent_cache(str(tmp_path / "other")) is None
+
+        # env var as cache dir
+        d2 = str(tmp_path / "from_env")
+        monkeypatch.setenv("DYNAMORPH_COMPILE_CACHE", d2)
+        assert enable_persistent_cache() == d2
+        assert os.path.isdir(d2)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
