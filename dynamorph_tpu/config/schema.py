@@ -63,6 +63,9 @@ class PatchConfig:
     # the frame and probability map stay in HBM; only DBSCAN coordinates
     # round-trip the host. Requires those three stages to be selected.
     fused: bool = False
+    # sites processed concurrently by the fused stage, one per local
+    # device (None = min(local devices, sites))
+    fused_site_parallelism: Optional[int] = None
 
 
 @dataclasses.dataclass

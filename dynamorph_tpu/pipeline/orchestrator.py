@@ -79,8 +79,10 @@ def run_pipeline(raw_dir: str, supp_dir: str, sites: Sequence[str], config,
         from .fused import seg_patch_fused
 
         def _fused_all():
-            seg_patch_fused(raw_dir, supp_dir, sites, config,
-                            rerun=not resume)
+            seg_patch_fused(
+                raw_dir, supp_dir, sites, config, rerun=not resume,
+                site_parallelism=getattr(config.patch,
+                                         "fused_site_parallelism", None))
 
         run("seg_patch_fused", _fused_all,
             skip_if=lambda: all(
