@@ -26,8 +26,13 @@ def main():
                         choices=STAGES, help="subset of stages to run")
     parser.add_argument("--no-resume", action="store_true",
                         help="re-run stages even if outputs exist")
+    parser.add_argument("--fused", action="store_true",
+                        help="device-resident fused seg->instance->patch "
+                             "front-end (overrides patch.fused)")
     args = parser.parse_args()
     config = load_config(args.config)
+    if args.fused:
+        config.patch.fused = True
 
     for raw_dir, supp_dir in zip(config.patch.raw_dirs,
                                  config.patch.supp_dirs):
