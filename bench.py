@@ -45,6 +45,21 @@ TRAIN_BASELINE_PATCHES_PER_SEC = 10593.0
 E2E_BASELINE_PATCHES_PER_SEC = 264.1
 
 
+def _best_of(fn, reps: int, budget_s: float) -> float:
+    """min over up to ``reps`` calls, stopping early once ``budget_s`` of
+    wall time is spent (>=1 call always runs). The relay's dispatch speed
+    varies >3x between runs; a fixed rep count either wastes the budget on
+    fast days or starves the other metrics on slow days. One rep costs
+    ~±5-10%% noise — irrelevant at the tracked margins."""
+    vals = []
+    t0 = time.time()
+    for _ in range(reps):
+        vals.append(fn())
+        if time.time() - t0 > budget_s:
+            break
+    return min(vals)
+
+
 def bench_train_step():
     """VQ-VAE z32 full train step at the reference production config
     (batch 768, 128x128 2-ch, K=512 — reference configs/config_example.yml:
@@ -89,10 +104,10 @@ def bench_train_step():
     run_chain(1, params, state, opt_state)
 
     short_iters, long_iters = 5, 25
-    t_short = min(run_chain(short_iters, params, state, opt_state)
-                  for _ in range(3))
-    t_long = min(run_chain(long_iters, params, state, opt_state)
-                 for _ in range(3))
+    t_short = _best_of(
+        lambda: run_chain(short_iters, params, state, opt_state), 3, 30)
+    t_long = _best_of(
+        lambda: run_chain(long_iters, params, state, opt_state), 3, 90)
     marginal = max((t_long - t_short) / (long_iters - short_iters), 1e-9)
     patches_per_sec = batch_size / marginal
     return {
@@ -135,8 +150,8 @@ def bench_seg_inference():
 
     run(1)  # compile
     short_iters, long_iters = 3, 12
-    t_short = min(run(short_iters) for _ in range(3))
-    t_long = min(run(long_iters) for _ in range(3))
+    t_short = _best_of(lambda: run(short_iters), 3, 20)
+    t_long = _best_of(lambda: run(long_iters), 3, 60)
     marginal = max((t_long - t_short) / (long_iters - short_iters), 1e-9)
     frames_per_sec = 1.0 / marginal
     return {
@@ -219,7 +234,7 @@ def bench_e2e_encode(n_wells: int = 3, patches_per_well: int = 512):
     }
 
 
-def bench_multichip():
+def _multichip_start():
     """Multi-chip health on an 8-device CPU mesh (no TPU pod needed):
     executes the FULL sharded train step (dryrun_multichip(8) — batch-DP +
     trajectory-sharded ring time-matching loss) and asserts the compiled
@@ -227,7 +242,10 @@ def bench_multichip():
     `collective-permute` with NO `all-gather` of z_flat (the scaling-killer
     the blocked loss exists to avoid, BASELINE.md "Multi-chip time-matching
     loss"). Runs in a CPU-backend subprocess because this process's jax is
-    pinned to the real chip. value 1.0 = pass, 0.0 = fail."""
+    pinned to the real chip — and because it never touches the relay, the
+    default bench starts it CONCURRENTLY with the headline and collects it
+    afterwards, so this line always lands regardless of relay speed.
+    value 1.0 = pass, 0.0 = fail."""
     import os
     import subprocess
 
@@ -261,17 +279,24 @@ print('collective set ok')
              if not f.startswith("--xla_force_host_platform_device_count")]
     flags.append("--xla_force_host_platform_device_count=8")
     env["XLA_FLAGS"] = " ".join(flags)
+    return subprocess.Popen(
+        [sys.executable, "-c", child], env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+
+
+def _multichip_collect(proc, timeout: float = 300.0):
+    import subprocess
+
     try:
-        proc = subprocess.run([sys.executable, "-c", child], env=env,
-                              cwd=os.path.dirname(os.path.abspath(__file__))
-                              or ".", capture_output=True, text=True,
-                              timeout=300)
+        out, err = proc.communicate(timeout=timeout)
         ok = (proc.returncode == 0
-              and "dryrun_multichip(8): ok" in proc.stdout
-              and "collective set ok" in proc.stdout)
+              and "dryrun_multichip(8): ok" in out
+              and "collective set ok" in out)
         if not ok:
-            print(proc.stdout[-1000:] + proc.stderr[-1000:], file=sys.stderr)
+            print(out[-1000:] + err[-1000:], file=sys.stderr)
     except subprocess.TimeoutExpired:
+        proc.kill()
         ok = False
         print("multichip bench timed out", file=sys.stderr)
     return {
@@ -280,6 +305,10 @@ print('collective set ok')
         "unit": "8-dev CPU-mesh sharded train step + collective-set check (1=pass)",
         "vs_baseline": 1.0 if ok else 0.0,
     }
+
+
+def bench_multichip():
+    return _multichip_collect(_multichip_start())
 
 
 def main():
@@ -322,10 +351,11 @@ def main():
     # best-of-3 over (10, 40) chains: measured equivalent to the earlier
     # best-of-5 (10, 60) methodology within the relay's ±5% run-to-run
     # noise (2026-08-17 cross-check: 1,010k vs 965k patches/s on the same
-    # warm program) at ~57% of the chain cost — keeps the full three-metric
-    # bench inside the driver's time budget (VERDICT r2 item 2)
-    t_short = min(timed_chain(short_iters) for _ in range(3))
-    t_long = min(timed_chain(long_iters) for _ in range(3))
+    # warm program) at ~57% of the chain cost; reps are TIME-BOXED so a
+    # slow-relay day degrades to best-of-1 instead of starving the
+    # secondary metrics (VERDICT r2 item 2)
+    t_short = _best_of(lambda: timed_chain(short_iters), 3, 60)
+    t_long = _best_of(lambda: timed_chain(long_iters), 3, 150)
     marginal = (t_long - t_short) / (long_iters - short_iters)
     marginal = max(marginal, 1e-9)
 
@@ -367,15 +397,19 @@ if __name__ == "__main__":
         # as it's measured so a runner-side kill keeps everything finished
         # so far (with the headline re-emitted last on normal completion).
         t0 = time.time()
+        # multichip runs on the LOCAL CPU backend and never touches the
+        # relay: start it now, in parallel with the headline, so it always
+        # lands even on a slow-relay day
+        mc_proc = _multichip_start()
         headline = main()
         # emit immediately so a kill during a secondary bench can never
         # discard the measured headline (it stays the last printed line in
         # that case too); re-emitted last on normal completion
         _emit(headline)
-        # (secondary, budget-seconds-remaining needed to attempt it);
-        # multichip runs on the LOCAL CPU backend (no TPU relay variance),
-        # seg's chains are shorter than train's
-        for fn, needed in ((bench_multichip, 120), (bench_seg_inference, 90),
+        _emit(_multichip_collect(
+            mc_proc, timeout=max(30.0, 560 - (time.time() - t0))))
+        # (secondary, budget-seconds-remaining needed to attempt it)
+        for fn, needed in ((bench_seg_inference, 90),
                            (bench_train_step, 90)):
             if time.time() - t0 < 520 - needed:
                 _emit(fn())
