@@ -24,18 +24,27 @@ log = logging.getLogger(__name__)
 _DISABLE_VALUES = ("0", "off", "false", "no")
 
 
-def enable_persistent_cache(cache_dir: Optional[str] = None) -> Optional[str]:
+def enable_persistent_cache(cache_dir: Optional[str] = None,
+                            allow_cpu: bool = False) -> Optional[str]:
     """Point jax at an on-disk compilation cache. Returns the cache dir, or
-    None if disabled/unsupported. Call before the first jit compilation."""
+    None if disabled/unsupported. Call before the first jit compilation.
+
+    Skipped on a CPU-pinned backend unless ``allow_cpu``: XLA:CPU AOT cache
+    reloads warn about machine-feature mismatches (spurious
+    pseudo-features) with a possible-SIGILL caveat — and CPU compiles are
+    fast anyway."""
     env = os.environ.get("DYNAMORPH_COMPILE_CACHE", "")
     if env.lower() in _DISABLE_VALUES:
         return None
     cache_dir = cache_dir or env or os.path.join(
         os.path.expanduser("~"), ".cache", "dynamorph_tpu", "xla")
     try:
-        os.makedirs(cache_dir, exist_ok=True)
         import jax
 
+        if not allow_cpu and (getattr(jax.config, "jax_platforms", None) or
+                              "").startswith("cpu"):
+            return None
+        os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # cache even fast compiles: the relay round trip dominates, not
         # XLA's own compile time

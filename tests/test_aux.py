@@ -204,20 +204,26 @@ def test_enable_persistent_compile_cache(tmp_path, monkeypatch):
 
     old = jax.config.jax_compilation_cache_dir
     try:
-        # explicit dir wins; dir is created
+        # CPU-pinned backend (this test process): skipped by default —
+        # XLA:CPU AOT cache reloads risk SIGILL on feature mismatch
+        assert enable_persistent_cache(str(tmp_path / "nope")) is None
+        assert not os.path.exists(str(tmp_path / "nope"))
+
+        # explicit dir wins; dir is created (allow_cpu for the test env)
         d = str(tmp_path / "xla_cache")
-        assert enable_persistent_cache(d) == d
+        assert enable_persistent_cache(d, allow_cpu=True) == d
         assert os.path.isdir(d)
         assert jax.config.jax_compilation_cache_dir == d
 
         # env var opt-out
         monkeypatch.setenv("DYNAMORPH_COMPILE_CACHE", "off")
-        assert enable_persistent_cache(str(tmp_path / "other")) is None
+        assert enable_persistent_cache(str(tmp_path / "other"),
+                                       allow_cpu=True) is None
 
         # env var as cache dir
         d2 = str(tmp_path / "from_env")
         monkeypatch.setenv("DYNAMORPH_COMPILE_CACHE", d2)
-        assert enable_persistent_cache() == d2
+        assert enable_persistent_cache(allow_cpu=True) == d2
         assert os.path.isdir(d2)
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
