@@ -41,9 +41,15 @@ def enable_persistent_cache(cache_dir: Optional[str] = None,
     try:
         import jax
 
-        if not allow_cpu and (getattr(jax.config, "jax_platforms", None) or
-                              "").startswith("cpu"):
-            return None
+        if not allow_cpu:
+            platforms = getattr(jax.config, "jax_platforms", None) or ""
+            if platforms.startswith("cpu"):
+                return None
+            # platforms unset: JAX may still fall back to CPU (no
+            # accelerator plugin) — resolve the actual backend before
+            # enabling (initializes it, which the caller needs anyway)
+            if not platforms and jax.default_backend() == "cpu":
+                return None
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # cache even fast compiles: the relay round trip dominates, not

@@ -327,15 +327,26 @@ def seg_patch_fused(raw_folder: str, supp_folder: str,
         for site in sites:
             run_site(site, None)
         return
-    # warm the compile caches once on the first site's device before
-    # fanning out: concurrent first-compiles of the same program would
-    # race through the compile path k times
+    # free-device checkout: each task takes whichever device is idle (a
+    # static index->device map can pile two long sites on one chip while
+    # others idle). First-compiles happen once PER DEVICE (jit caches one
+    # executable per committed device), concurrently across workers.
     from concurrent.futures import ThreadPoolExecutor
+    from queue import Queue
 
-    first, rest = sites[0], sites[1:]
-    run_site(first, devices[0])
+    free: Queue = Queue()
+    for d in devices[:k]:
+        free.put(d)
+
+    def run_site_on_free_device(site):
+        dev = free.get()
+        try:
+            run_site(site, dev)
+        finally:
+            free.put(dev)
+
     with ThreadPoolExecutor(max_workers=k) as pool:
-        futs = [pool.submit(run_site, site, devices[(i + 1) % k])
-                for i, site in enumerate(rest)]
+        futs = [pool.submit(run_site_on_free_device, site)
+                for site in sites]
         for f in futs:
             f.result()

@@ -69,6 +69,13 @@ def run_pipeline(raw_dir: str, supp_dir: str, sites: Sequence[str], config,
     front_end = {"segmentation", "instance_segmentation", "extract_patches"}
     fused = bool(getattr(config.patch, "fused", False)) and \
         front_end <= set(stages)
+    if getattr(config.patch, "fused", False) and not fused and \
+            front_end & set(stages):
+        log.warning(
+            "patch.fused requested but stages %s are missing %s — running "
+            "the STAGED front-end instead (the fused stage replaces all "
+            "three)", sorted(front_end & set(stages)),
+            sorted(front_end - set(stages)))
     if fused:
         stages = ["seg_patch_fused"] + [s for s in stages
                                         if s not in front_end]

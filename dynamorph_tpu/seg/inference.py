@@ -57,7 +57,11 @@ def _predict_tiles(model, tiles: np.ndarray, batch_bucket: int = 8):
         x = jax.device_put(x, NamedSharding(make_mesh(), P("data")))
     y = _scaled_predict_fn(model)(model.params, model.state, x)
     y = np.asarray(y)[:n]
-    assert y.shape[1:] == (model.n_classes, 1) + tuple(model.input_shape[1:])
+    # output spatial dims = the LAST two input dims: input_shape is
+    # (c, x, y) for Segment but (c, z, x, y) for SegmentWithMultipleSlice,
+    # whose z collapses to the single output slice
+    assert y.shape[1:] == (model.n_classes, 1) + \
+        tuple(model.input_shape[-2:])
     return y
 
 
@@ -199,8 +203,11 @@ def predict_whole_map(file_path, model, use_channels: Sequence[int] = (),
                              c * y_size:(c + 1) * y_size] = outputs[ct]
                 ct += 1
 
-        # Random-offset supplementary passes, running-mean merged
-        for i_supp in range(n_supp):
+        # Random-offset supplementary passes, running-mean merged. A
+        # single-tile frame has no interior for offset tiles (rows == 1):
+        # merging zero tiles is the identity, so skip (the reference would
+        # crash on the empty stack, data.py:443).
+        for i_supp in range(n_supp if rows > 1 and cols > 1 else 0):
             x_off = rng.randint(1, x_size)
             y_off = rng.randint(1, y_size)
             tiles = np.stack([

@@ -290,9 +290,6 @@ def test_fused_driver_rerun_false_skips_completed(tmp_path, monkeypatch):
     called = []
     monkeypatch.setattr(fused_mod, "process_site_seg_patch_fused",
                         lambda *a, **k: called.append(a))
-    monkeypatch.setattr(
-        fused_mod, "Segment",
-        lambda **k: StubSeg(), raising=False)
 
     config = PipelineConfig()
     config.segmentation_inference.weights = "unused"

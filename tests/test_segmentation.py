@@ -188,3 +188,21 @@ def test_segment_save_load_roundtrip(tmp_path, rng):
     model2.load(str(tmp_path / "ck"))
     after = model2.predict(x)
     np.testing.assert_allclose(before, after, atol=1e-6)
+
+
+def test_multislice_tiled_predict_shapes(tmp_path, rng):
+    """2.5-D tiled inference: _predict_tiles must accept the 4-D
+    (c, z, x, y) multislice input_shape (regression: a shape assert built
+    from input_shape[1:] broke SegmentWithMultipleSlice)."""
+    from dynamorph_tpu.seg.inference import predict_whole_map
+    from dynamorph_tpu.seg.model import SegmentWithMultipleSlice
+
+    model = SegmentWithMultipleSlice(input_shape=(1, 3, 64, 64),
+                                     n_classes=3)
+    # 3 consecutive TIME slices feed the model's z axis (stack Z = 1)
+    inputs = (rng.rand(4, 1, 1, 128, 128) * 60000).astype(np.uint16)
+    out = predict_whole_map(inputs, model, use_channels=[0],
+                            n_supp=1, time_slices=3)
+    # (T - (slices-1), n_classes, 1, X_full, Y_full)
+    assert out.shape == (2, 3, 1, 128, 128)
+    np.testing.assert_allclose(out.sum(1), 1.0, rtol=1e-4)
