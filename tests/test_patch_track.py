@@ -154,3 +154,39 @@ def test_trajectories_match_reference(tmp_path, rng):
         assert to.keys() == tr.keys()
         for k in to:
             np.testing.assert_array_equal(to[k], tr[k])
+
+
+def test_pack_mask_bits_roundtrip(rng):
+    import jax.numpy as jnp
+
+    from dynamorph_tpu.ops.patch import pack_mask_bits
+
+    mask = rng.rand(64, 128) > 0.7
+    packed = np.asarray(pack_mask_bits(jnp.asarray(mask)))
+    assert packed.shape == (64, 16) and packed.dtype == np.uint8
+    unpacked = np.unpackbits(packed, axis=1, bitorder="little")
+    np.testing.assert_array_equal(unpacked.astype(bool), mask)
+
+
+def test_scatter_label_map_matches_host_and_drops_pads(rng):
+    import jax.numpy as jnp
+
+    from dynamorph_tpu.ops.patch import labels_to_map, scatter_label_map
+
+    shape = (48, 64)
+    n = 500
+    pos = np.stack([rng.randint(0, shape[0], n),
+                    rng.randint(0, shape[1], n)], 1).astype(np.int32)
+    # dedupe so host scatter order can't differ from device
+    pos = np.unique(pos, axis=0)
+    labs = rng.randint(-1, 7, len(pos)).astype(np.int32)
+    host = labels_to_map(shape, pos, labs)
+
+    # pad slots carry POSITIVE out-of-bounds coords -> dropped
+    coords = np.concatenate(
+        [pos, np.full((37, 2), max(shape), np.int32)], 0)
+    labels = np.concatenate([labs, np.full((37,), 99, np.int32)])
+    dev = np.asarray(scatter_label_map(jnp.asarray(coords),
+                                       jnp.asarray(labels), shape))
+    np.testing.assert_array_equal(dev, host)
+    assert not (dev == 99).any()
