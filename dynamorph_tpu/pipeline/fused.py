@@ -97,8 +97,12 @@ def _site_programs(model, seg_ch, patch_ch, fg_thr, shape):
     @jax.jit
     def patch_inputs(raw_f, probs, coords, labels):
         """Scatter the host DBSCAN labels into the device label map and
-        compute the median background fill — both from HBM residents."""
-        lab = scatter_label_map(coords, labels, (x_size, y_size))
+        compute the median background fill — both from HBM residents.
+        coords/labels may arrive int16 (6 bytes/fg-pixel upload; frames
+        <= 32766 px) and widen on device."""
+        lab = scatter_label_map(coords.astype(jnp.int32),
+                                labels.astype(jnp.int32),
+                                (x_size, y_size))
         raw2d = raw_f[jnp.array(patch_ch)]
         bg_fill = median_background(raw2d, probs[0, 0])
         return lab, raw2d, bg_fill
@@ -207,10 +211,15 @@ def process_site_seg_patch_fused(
                 n = len(positions)
                 coord_bucket = min(_COORD_BUCKET, x_size * y_size)
                 n_pad = _round_up(max(n, 1), coord_bucket)
-                # pad slots get POSITIVE out-of-bounds coords (scatter drops
-                # them; negative indices would wrap)
-                coords = np.full((n_pad, 2), max(x_size, y_size), np.int32)
-                labs = np.zeros((n_pad,), np.int32)
+                # pad slots get POSITIVE out-of-bounds coords (scatter
+                # drops them; negative indices would wrap); int16 halves
+                # the upload when coordinates fit (6 bytes/fg-pixel)
+                cdtype = np.int16 if (
+                    max(x_size, y_size) <= 32766
+                    and int(positions_labels.max(initial=0)) <= 32766) \
+                    else np.int32
+                coords = np.full((n_pad, 2), max(x_size, y_size), cdtype)
+                labs = np.zeros((n_pad,), cdtype)
                 coords[:n] = positions
                 labs[:n] = positions_labels
                 lab_dev, raw2d_dev, bg_fill = patch_inputs(
