@@ -10,7 +10,13 @@ import jax
 
 
 def save_checkpoint(path: str, tree: Any):
-    """Save a pytree (params/state/opt_state/metadata) to ``path``."""
+    """Save a pytree (params/state/opt_state/metadata) to ``path``.
+
+    Multi-host: EVERY process must call this (orbax coordinates the write
+    with cross-host sync barriers — a process-0-only call deadlocks the
+    other processes at the next collective). Verified in
+    tests/test_multihost.py.
+    """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)

@@ -29,11 +29,17 @@ class EarlyStopping:
     improvement (reference pipeline/train_utils.py:8-60)."""
 
     def __init__(self, patience: int = 7, delta: float = 0.0,
-                 path: str = "checkpoint", verbose: bool = False):
+                 path: str = "checkpoint", verbose: bool = False,
+                 save_enabled: bool = True):
         self.patience = patience
         self.delta = delta
         self.path = path
         self.verbose = verbose
+        # under a multi-process runtime every process must reach the save
+        # (orbax coordinates the write with cross-host barriers — a
+        # process-0-only call deadlocks); save_enabled exists for callers
+        # that checkpoint elsewhere
+        self.save_enabled = save_enabled
         self.counter = 0
         self.best_score = None
         self.early_stop = False
@@ -59,7 +65,8 @@ class EarlyStopping:
         if self.verbose:
             print(f"Validation loss decreased ({self.val_loss_min:.6f} -> "
                   f"{val_loss:.6f}). Saving model ...")
-        save_checkpoint(self.path, tree)
+        if self.save_enabled:
+            save_checkpoint(self.path, tree)
         self.val_loss_min = val_loss
 
 
@@ -75,6 +82,15 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
 
     ``resume=True`` restores params/state/optimizer-moments/epoch from the
     output dir's best checkpoint if present and continues.
+
+    Multi-host: when ``mesh`` spans multiple processes (after
+    ``core.mesh.init_multihost()``), every process must call this function
+    with the SAME arguments (dataset/relations replicated host-side — these
+    are small; batches feed through ``core.mesh.put_global`` so each process
+    materialises only its local shards). Checkpoint/metrics writes happen on
+    process 0 only; loss scalars are replicated so control flow (early
+    stopping, epoch order) stays in lockstep. Verified 2-process x 4-device
+    == 1-process x 8-device in tests/test_multihost.py.
 
     ``traj_sharded_loss=True`` (requires ``mesh`` and ``relation_mat``):
     assign whole trajectories to device shards each batch and compute the
@@ -131,8 +147,28 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
     train_step = make_train_step(model, optimizer, mesh=mesh, augment=transform)
     eval_step = make_eval_step(model, mesh=mesh)
 
+    multiproc = mesh is not None and jax.process_count() > 1
+    is_main = jax.process_index() == 0
+    if multiproc:
+        from ..core.mesh import batch_sharding, put_global, replicated_sharding
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if batch_size % mesh.shape["data"]:
+            raise ValueError(
+                f"multi-process training needs batch_size ({batch_size}) "
+                f"divisible by the mesh ({mesh.shape['data']})")
+        # blocked relations are laid out P('data', None); dense relations
+        # and everything else follow the step's sharding constraints
+        rel_sharding = (NamedSharding(mesh, P("data", None))
+                        if traj_sharded_loss else replicated_sharding(mesh))
+
     train_ids, val_ids = data_utils.split_data_ids(
         n, val_split_ratio, shuffle_data, rng)
+    if multiproc and not traj_sharded_loss:
+        # every process must see identical full batches; drop trailing
+        # partials so shard shapes stay static and divisible
+        train_ids = train_ids[:len(train_ids) - len(train_ids) % batch_size]
+        val_ids = val_ids[:len(val_ids) - len(val_ids) % batch_size]
     if traj_sharded_loss:
         # blocked loss needs full shard chunks: drop trailing partial batches
         train_ids = train_ids[:len(train_ids) - len(train_ids) % batch_size]
@@ -145,10 +181,10 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
     n_batches = int(np.ceil(len(train_ids) / batch_size))
     n_val_batches = int(np.ceil(len(val_ids) / batch_size))
 
-    writer = MetricsWriter(output_dir)
+    writer = MetricsWriter(output_dir) if is_main else None
     ckpt_path = os.path.join(output_dir, "model_ckpt")
     early = EarlyStopping(patience=patience or 10 ** 9, path=ckpt_path,
-                          verbose=True)
+                          verbose=is_main)
     history = []
 
     def load_batch(i_and_ids):
@@ -163,10 +199,16 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
             rel = SL.blockdiag_relations(relation_mat, bids, n_shards)
         else:
             rel = data_utils.slice_relation_mat(relation_mat, bids)
-        batch = jnp.asarray(dataset[bids])
-        rel = jnp.asarray(rel) if rel is not None else None
         bmask = data_utils.slice_mask(mask, bids)
-        bmask = jnp.asarray(bmask) if bmask is not None else None
+        if multiproc:
+            batch = put_global(dataset[bids], batch_sharding(mesh, dataset.ndim))
+            rel = put_global(rel, rel_sharding) if rel is not None else None
+            bmask = (put_global(bmask, batch_sharding(mesh, bmask.ndim))
+                     if bmask is not None else None)
+        else:
+            batch = jnp.asarray(dataset[bids])
+            rel = jnp.asarray(rel) if rel is not None else None
+            bmask = jnp.asarray(bmask) if bmask is not None else None
         return batch, rel, bmask
 
     def run_epoch(ids, n_b, training, epoch_key):
@@ -201,11 +243,13 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
         val_losses = run_epoch(val_ids, n_val_batches, False, ek_val)
         if shuffle_data:
             rng.shuffle(train_ids)
-        writer.write("Loss", train_losses, epoch)
-        writer.write("Val loss", val_losses, epoch)
+        if writer is not None:
+            writer.write("Loss", train_losses, epoch)
+            writer.write("Val loss", val_losses, epoch)
         history.append({"epoch": epoch, "train": train_losses, "val": val_losses})
         if save_every_epoch:
-            # legacy per-epoch checkpoints (reference vq_vae_supp.py:385)
+            # legacy per-epoch checkpoints (reference vq_vae_supp.py:385);
+            # all processes enter (orbax coordinates the multihost write)
             save_checkpoint(os.path.join(output_dir, f"model_epoch{epoch}"),
                             {"params": params, "state": state})
         if not val_losses:
@@ -226,7 +270,8 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
         if early.early_stop:
             print("Early stopping")
             break
-    writer.close()
+    if writer is not None:
+        writer.close()
     return params, state, history
 
 

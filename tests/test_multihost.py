@@ -1,0 +1,225 @@
+"""Multi-host (multi-process / DCN) training verification.
+
+documents/6-scaling.md claims multi-host runs need only
+`core.mesh.init_multihost()` before `make_mesh()` because the sharding
+annotations are already global-view. This test PROVES it on CPU: 2 OS
+processes x 4 virtual devices each — one global 8-device mesh with gloo
+collectives — run (a) three fixed train steps (forward + trajectory-sharded
+ring time-matching loss + gradient all-reduce + Adam), which must match a
+single-process 8-device run to float tolerance, and (b) the FULL
+`train_vqvae` trainer (prefetched feed, on-device augmentation,
+early-stopping orbax checkpoints), whose loss history must agree across
+processes exactly and track the single-process run.
+
+The step-level bound is tight (observed ~2e-7 relative; asserted 1e-5): the
+only divergence source is collective reduction order (gloo ring vs XLA
+in-process). The history bound is loose (5%) because ulp-level differences
+flip discrete VQ codebook assignments over epochs — a discontinuity the
+single-process run is equally subject to.
+
+The reference has no multi-host story at all (share-nothing worker
+processes, reference run_segmentation.py:74-84, run_VAE.py:73-85); this is
+capability the rebuild adds.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Worker: every process runs the SAME code on the SAME host data
+# (replicated host-side loading, the standard pattern at this data scale);
+# batches feed through core.mesh.put_global so each process materialises
+# only its local shards.
+WORKER = """
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import json
+from dynamorph_tpu.core.mesh import init_multihost, make_mesh
+
+pid, nproc, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
+                            int(sys.argv[3]), sys.argv[4])
+if nproc > 1:
+    init_multihost(f"127.0.0.1:{{port}}", nproc, pid)
+assert jax.device_count() == 8, jax.device_count()
+
+from tests.test_multihost import build_problem, run_fixed_steps, run_train
+
+mesh = make_mesh(8)
+print("STEPS:" + json.dumps(run_fixed_steps(mesh)), flush=True)
+print("HISTORY:" + json.dumps(run_train(build_problem(), mesh, outdir)),
+      flush=True)
+"""
+
+
+def build_problem():
+    """Deterministic tiny z32 training problem: 64 patches of 2x32x32 in
+    16 trajectories of 4 frames (relation 2 adjacent / 1 same-trajectory,
+    reference generate_trajectories.py:441-515 semantics)."""
+    from scipy.sparse import csr_matrix
+
+    rng = np.random.RandomState(7)
+    n = 64
+    dataset = rng.rand(n, 2, 32, 32).astype(np.float32)
+    rel = np.zeros((n, n), np.int64)
+    for t0 in range(0, n, 4):
+        rel[t0:t0 + 4, t0:t0 + 4] = 1
+        for i in range(t0, t0 + 3):
+            rel[i, i + 1] = rel[i + 1, i] = 2
+        rel[np.arange(t0, t0 + 4), np.arange(t0, t0 + 4)] = 2
+    mask = (rng.rand(n, 2, 32, 32) > 0.2).astype(np.float32)
+    return dataset, csr_matrix(rel), mask
+
+
+def _tiny_model(mesh):
+    import dataclasses
+
+    from dynamorph_tpu.models import VQVAEz32
+    from dynamorph_tpu.train import sharded_loss as SL
+
+    return dataclasses.replace(
+        VQVAEz32(num_embeddings=32, num_hiddens=8, num_residual_hiddens=8,
+                 weight_matching=10.0),
+        tm_loss_fn=SL.make_traj_sharded_tm_loss(mesh))
+
+
+def run_fixed_steps(mesh, n_steps: int = 3):
+    """Three full train steps on fixed inputs; returns the final losses.
+
+    Multi-process and single-process runs of this function differ only in
+    collective implementation — the losses must agree to float tolerance.
+    """
+    import jax
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from scipy.sparse import csr_matrix
+
+    from dynamorph_tpu.core.mesh import batch_sharding, put_global
+    from dynamorph_tpu.train import sharded_loss as SL
+    from dynamorph_tpu.train.steps import make_train_step
+
+    model = _tiny_model(mesh)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    rng = np.random.RandomState(7)
+    b = 16
+    batch = rng.rand(b, 2, 32, 32).astype(np.float32)
+    rel_dense = np.zeros((b, b), np.int64)
+    for k in range(8):
+        rel_dense[2 * k: 2 * k + 2, 2 * k: 2 * k + 2] = 2
+    rel = SL.blockdiag_relations(csr_matrix(rel_dense), np.arange(b), 8)
+    mask = (rng.rand(b, 2, 32, 32) > 0.2).astype(np.uint8)
+
+    batch = put_global(batch, batch_sharding(mesh, 4))
+    rel = put_global(rel, NamedSharding(mesh, P("data", None)))
+    mask = put_global(mask, batch_sharding(mesh, 4))
+
+    step = make_train_step(model, opt, mesh=mesh, augment=True)
+    for _ in range(n_steps):
+        params, state, opt_state, losses = step(
+            params, state, opt_state, batch, rel, mask, jax.random.PRNGKey(5))
+    return {k: float(v) for k, v in losses.items()}
+
+
+def run_train(problem, mesh, outdir):
+    from dynamorph_tpu.train.trainer import train_vqvae
+
+    dataset, rel, mask = problem
+    # batch 16 over 8 shards: 2 samples/shard -> real diagonal relation
+    # blocks AND cross-shard ring negatives in the traj-sharded loss
+    _, _, history = train_vqvae(
+        _tiny_model(mesh), dataset, outdir, relation_mat=rel, mask=mask,
+        n_epochs=2, lr=1e-3, batch_size=16, transform=True,
+        val_split_ratio=0.25, patience=20, mesh=mesh, seed=0,
+        traj_sharded_loss=True)
+    return history
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if not f.startswith("--xla_force_host_platform_device_count")]
+    env["XLA_FLAGS"] = " ".join(
+        flags + ["--xla_force_host_platform_device_count=4"])
+
+    # both processes write to the SAME dir (shared filesystem, as on a pod)
+    outdir = str(tmp_path / "multihost")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER.format(repo=REPO),
+             str(pid), "2", str(port), outdir],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=560)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err[-3000:]
+        outs.append(out)
+
+    def extract(tag):
+        vals = []
+        for out in outs:
+            lines = [l for l in out.splitlines() if l.startswith(tag + ":")]
+            assert lines, out[-2000:]
+            vals.append(json.loads(lines[0][len(tag) + 1:]))
+        return vals
+
+    steps_mh = extract("STEPS")
+    histories = extract("HISTORY")
+
+    # every process observes identical (replicated) scalars
+    assert steps_mh[0] == steps_mh[1]
+    assert histories[0] == histories[1]
+
+    # single-process 8-device runs of the identical problems (this pytest
+    # process already holds the 8-device CPU mesh via conftest)
+    from dynamorph_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    steps_ref = run_fixed_steps(mesh)
+    for k, v in steps_ref.items():
+        np.testing.assert_allclose(
+            steps_mh[0][k], v, rtol=1e-5, atol=1e-7,
+            err_msg=f"step-level {k} diverged between multi-host and "
+                    f"single-process runs")
+
+    ref_history = run_train(build_problem(), mesh, str(tmp_path / "single"))
+    assert len(ref_history) == len(histories[0]) == 2
+    for ep_ref, ep_mh in zip(ref_history, histories[0]):
+        for split in ("train", "val"):
+            for k, v in ep_ref[split].items():
+                np.testing.assert_allclose(
+                    ep_mh[split][k], v, rtol=5e-2, atol=1e-4,
+                    err_msg=f"{split}/{k} grossly diverged between "
+                            f"multi-host and single-process training")
+
+    # the coordinated checkpoint exists and restores
+    from dynamorph_tpu.train.checkpoint import restore_checkpoint
+
+    ck = restore_checkpoint(os.path.join(outdir, "model_ckpt"))
+    assert "params" in ck and "epoch" in ck
