@@ -139,12 +139,20 @@ def main(config_path: str):
 
             ck = restore_checkpoint(tr.start_model_path)
             params, state = ck["params"], ck["state"]
+        # Multi-chip: shard triplet batches over all local devices (the
+        # miner's embedding all-gather and the grad psum come from the
+        # step's sharding annotations, train/steps.py::make_triplet_steps)
+        import jax
+
+        from ..core.mesh import make_mesh
+
+        mesh = make_mesh() if jax.device_count() > 1 else None
         train_triplet(model, tri_train, tri_val, model_dir,
                       n_epochs=tr.n_epochs, lr=tr.learn_rate,
                       batch_size=batch_size_adj, patience=tr.patience,
                       earlystop_metric=tr.earlystop_metric,
                       retrain=tr.retrain, log_step_offset=tr.start_epoch,
-                      params=params, state=state)
+                      params=params, state=state, mesh=mesh)
 
 
 def parse_args():

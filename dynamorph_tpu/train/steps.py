@@ -91,6 +91,50 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
     return jax.jit(step)
 
 
+def make_triplet_steps(model, optimizer: optax.GradientTransformation,
+                       mesh: Optional[Mesh] = None):
+    """Jitted train/eval steps for the triplet (ResNet/SimCLR) path — the
+    reference `train_with_loader` inner loop (reference run_training.py:
+    554-627) as one fused forward+miner+backward+Adam program.
+
+    With ``mesh``, batches and labels are sharded over 'data' and params
+    replicated; the miner's (B, B) pairwise-distance matrix needs every
+    embedding, so XLA all-gathers the (B, 128) projections — tiny next to
+    the conv trunk — and psums the gradients (tested sharded == single,
+    tests/test_multidevice.py).
+
+    Returns ``(train_step, eval_step)``.
+    """
+
+    def loss_fn(params, state, batch, labels):
+        _, losses, new_state = model.apply(params, state, batch,
+                                           labels=labels, train=True)
+        return losses["total_loss"], (losses, new_state)
+
+    def step(params, state, opt_state, batch, labels):
+        if mesh is not None:
+            data_sh = NamedSharding(mesh, P("data"))
+            batch = jax.lax.with_sharding_constraint(batch, data_sh)
+            labels = jax.lax.with_sharding_constraint(labels, data_sh)
+            params = jax.lax.with_sharding_constraint(
+                params, NamedSharding(mesh, P()))
+        (_, (losses, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, state, batch, labels)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, losses
+
+    def eval_step(params, state, batch, labels):
+        if mesh is not None:
+            batch = jax.lax.with_sharding_constraint(
+                batch, NamedSharding(mesh, P("data")))
+        _, losses, _ = model.apply(params, state, batch, labels=labels,
+                                   train=False)
+        return losses
+
+    return jax.jit(step), jax.jit(eval_step)
+
+
 def make_eval_step(model, mesh: Optional[Mesh] = None, needs_key: bool = False):
     def step(params, state, batch, rel, mask, key):
         if rel is not None:

@@ -287,7 +287,10 @@ def train_triplet(model, train_set, val_set, output_dir: str,
 
     ``train_set``/``val_set`` are TripletDataset instances
     (train/triplet_data.py); each step runs the whole flattened batch through
-    one jitted forward+backward with the triplet miner inside.
+    one jitted forward+backward with the triplet miner inside. With ``mesh``
+    the batch shards over the 'data' axis (params replicated, gradient psum
+    + embedding all-gather for the miner inserted by XLA). Single-host
+    meshes only — multi-host training is the VQ-VAE trainer's story.
     """
     import optax
 
@@ -309,25 +312,9 @@ def train_triplet(model, train_set, val_set, output_dir: str,
 
     optimizer = optax.adam(lr, b1=0.9, b2=0.999)
     opt_state = optimizer.init(params)
+    from .steps import make_triplet_steps
 
-    def loss_fn(params, state, batch, labels):
-        _, losses, new_state = model.apply(params, state, batch,
-                                           labels=labels, train=True)
-        return losses["total_loss"], (losses, new_state)
-
-    @jax.jit
-    def step(params, state, opt_state, batch, labels):
-        (_, (losses, new_state)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, state, batch, labels)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, new_state, opt_state, losses
-
-    @jax.jit
-    def eval_step(params, state, batch, labels):
-        _, losses, _ = model.apply(params, state, batch, labels=labels,
-                                   train=False)
-        return losses
+    step, eval_step = make_triplet_steps(model, optimizer, mesh=mesh)
 
     writer = MetricsWriter(output_dir)
     early = EarlyStopping(patience=patience or 10 ** 9, path=ckpt_path,
