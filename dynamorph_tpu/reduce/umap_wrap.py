@@ -61,6 +61,14 @@ def fit_umap(train_data: np.ndarray, weights_dir: str, labels,
             scatter.set_facecolor("none")
             ax[axis_count].set_title(f"n_neighbors={n_nbr}", fontsize=12)
             zoom_axis(embedding[:, 0], embedding[:, 1], ax[axis_count])
+            if axis_count == len(ax) - 1:
+                # condition legend on the last panel only
+                # (reference run_dim_reduction.py:194-199)
+                ax[axis_count].legend(
+                    handles=scatter.legend_elements()[0],
+                    title="condition", labels=list(conditions),
+                    loc="center left", bbox_to_anchor=(1, 0.5),
+                    fontsize="small")
             ax[axis_count].set_xlabel("UMAP 1")
             ax[axis_count].set_ylabel("UMAP 2")
             axis_count += 1
