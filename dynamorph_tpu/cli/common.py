@@ -22,6 +22,48 @@ logging.basicConfig(
 )
 
 
+def add_multihost_args(parser: argparse.ArgumentParser) -> None:
+    """Multi-host launch flags shared by every CLI.
+
+    ``--multihost`` initialises JAX's multi-process runtime
+    (core.mesh.init_multihost) before any device use; on TPU pods the
+    coordinator/count/id are auto-detected, elsewhere pass them explicitly.
+    Stage CLIs then slice their share-nothing work across processes
+    (core.mesh.process_slice) — the reference's worker-per-GPU split
+    (run_segmentation.py:74-84) lifted to hosts."""
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialise the multi-process (multi-host) "
+                             "runtime and shard work across processes")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="coordinator address host:port "
+                             "(omit on TPU pods: auto-detected)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
+
+
+def init_multihost_from_args(args) -> None:
+    if getattr(args, "multihost", False):
+        from ..core.mesh import init_multihost
+
+        init_multihost(args.coordinator, args.num_processes, args.process_id)
+
+
+def shard_work(items):
+    """This process's slice of a share-nothing work list (identity when
+    single-process); logs the ownership so fan-out is visible in stage
+    logs."""
+    import jax
+
+    from ..core.mesh import process_slice
+
+    mine = process_slice(items)
+    if jax.process_count() > 1:
+        logging.getLogger(__name__).info(
+            "process %d/%d owns %d of %d work items", jax.process_index(),
+            jax.process_count(), len(mine), len(list(items)))
+    return mine
+
+
 def parse_method_config(choices: Sequence[str], default: Optional[str] = None,
                         require_method: bool = True):
     # all CLIs route through here before any jit: enable the on-disk XLA
@@ -37,7 +79,9 @@ def parse_method_config(choices: Sequence[str], default: Optional[str] = None,
                         help=f"Method: one of {list(choices)}")
     parser.add_argument("-c", "--config", type=str, required=True,
                         help="path to yaml configuration file")
+    add_multihost_args(parser)
     args = parser.parse_args()
+    init_multihost_from_args(args)
     return args.method, load_config(args.config)
 
 

@@ -12,9 +12,18 @@ from .common import parse_method_config
 def main():
     method, config = parse_method_config(choices=["pca", "umap"],
                                          default="pca")
-    dr = config.dim_reduction
-    dim_reduction(method, dr.input_dirs, dr.output_dirs or dr.input_dirs,
-                  dr.weights_dir, config)
+    import jax
+
+    if jax.process_index() == 0:
+        # the fit pools latents across ALL wells and the transform is
+        # cheap — one process does it (multi-host runs: process 0)
+        dr = config.dim_reduction
+        dim_reduction(method, dr.input_dirs, dr.output_dirs or dr.input_dirs,
+                      dr.weights_dir, config)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("dynamorph:dim-reduction")
 
 
 if __name__ == "__main__":

@@ -6,7 +6,8 @@ build_trajectories} -c <config.yml>   (reference run_patch.py).
 from __future__ import annotations
 
 from ..pipeline.patch import build_trajectories, extract_patches
-from .common import parse_method_config, resolve_sites, segmented_sites
+from .common import (parse_method_config, resolve_sites, segmented_sites,
+                     shard_work)
 
 
 def run_for_dirs(method: str, raw_dir: str, supp_dir: str, config) -> None:
@@ -16,7 +17,10 @@ def run_for_dirs(method: str, raw_dir: str, supp_dir: str, config) -> None:
     if not supp_dir:
         raise AttributeError(
             f"supplementary directory must be specified when method = {method}")
-    sites = segmented_sites(raw_dir, resolve_sites(raw_dir, config.patch.fov))
+    # multi-host: static per-site split (reference num_cpus split,
+    # run_patch.py:61-72); both methods are per-site share-nothing
+    sites = shard_work(
+        segmented_sites(raw_dir, resolve_sites(raw_dir, config.patch.fov)))
     if method == "extract_patches":
         extract_patches(raw_dir, supp_dir, sites, config)
     elif method == "build_trajectories":

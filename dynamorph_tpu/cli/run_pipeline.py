@@ -29,7 +29,13 @@ def main():
     parser.add_argument("--fused", action="store_true",
                         help="device-resident fused seg->instance->patch "
                              "front-end (overrides patch.fused)")
+    from .common import add_multihost_args, init_multihost_from_args
+
+    add_multihost_args(parser)
     args = parser.parse_args()
+    # the orchestrator fans wells out across processes by itself
+    # (pipeline/orchestrator.py); this only boots the runtime
+    init_multihost_from_args(args)
     config = load_config(args.config)
     if args.fused:
         config.patch.fused = True

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from ..pipeline.patch import instance_segmentation
 from ..pipeline.segmentation import segmentation, segmentation_validation
-from .common import parse_method_config, resolve_sites
+from .common import parse_method_config, resolve_sites, shard_work
 
 METHODS = {
     "segmentation": segmentation,
@@ -29,7 +29,9 @@ def main():
     triples = zip(si.raw_dirs, si.supp_dirs,
                   si.validation_dirs or [None] * len(si.raw_dirs))
     for raw_dir, supp_dir, val_dir in triples:
-        sites = resolve_sites(raw_dir, si.fov)
+        # multi-host: static per-site split (reference linspace split,
+        # run_segmentation.py:74-84); sites are share-nothing here
+        sites = shard_work(resolve_sites(raw_dir, si.fov))
         if method == "segmentation":
             segmentation(raw_dir, supp_dir, val_dir, sites, config)
         elif method == "instance_segmentation":

@@ -156,10 +156,18 @@ def main(config_path: str):
 
 
 def parse_args():
+    from .common import add_multihost_args, init_multihost_from_args
+
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", type=str, required=True,
                         help="path to yaml configuration file")
-    return parser.parse_args()
+    add_multihost_args(parser)
+    args = parser.parse_args()
+    # training under --multihost uses the GLOBAL mesh (make_mesh spans all
+    # hosts' devices after init): one data-parallel train step across hosts,
+    # per documents/6-scaling.md
+    init_multihost_from_args(args)
+    return args
 
 
 if __name__ == "__main__":

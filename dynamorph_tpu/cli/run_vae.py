@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from ..io.sites import group_sites_by_well
 from ..pipeline.patch_vae import assemble_vae, process_vae, trajectory_matching
-from .common import parse_method_config, resolve_sites
+from .common import parse_method_config, resolve_sites, shard_work
 
 
 def run_for_dirs(method: str, raw_dir: str, supp_dir: str, config) -> None:
@@ -23,7 +23,11 @@ def run_for_dirs(method: str, raw_dir: str, supp_dir: str, config) -> None:
             "VQ-VAE weights path must be specified when method = process")
 
     sites = resolve_sites(raw_dir, le.fov)
-    wells = group_sites_by_well(sites)
+    all_wells = group_sites_by_well(sites)
+    # multi-host: static WELL split — every method here is per-well
+    # share-nothing (reference round-robins wells over GPU workers,
+    # run_VAE.py:73-85)
+    wells = {w: all_wells[w] for w in shard_work(sorted(all_wells))}
     if method == "assemble":
         for well_sites in wells.values():
             assemble_vae(raw_dir, supp_dir, well_sites, config,

@@ -69,6 +69,41 @@ def put_global(x, sharding: NamedSharding):
                                         lambda idx: x[idx])
 
 
+def local_mesh(axis_names=("data",)) -> Mesh | None:
+    """1-D Mesh over THIS process's local devices, or None if there is one.
+
+    Pipeline stages (segmentation, patch extraction, latent encoding) are
+    share-nothing per site/well — the reference runs them as independent
+    worker processes (run_segmentation.py:74-84, run_VAE.py:73-85). Under a
+    multi-process JAX runtime each process therefore shards its own sites
+    over its own devices only: a GLOBAL mesh would deadlock, because the
+    other processes never join these per-site programs. Training is the
+    opposite case and keeps the global ``make_mesh()``.
+    """
+    devs = jax.local_devices()
+    if len(devs) <= 1:
+        return None
+    return Mesh(np.array(devs), axis_names)
+
+
+def process_slice(items):
+    """This process's contiguous slice of a share-nothing work list.
+
+    The multi-host equivalent of the reference's static ``np.linspace``
+    site split across worker processes (run_segmentation.py:74-84) and
+    well-per-worker round-robin (run_VAE.py:73-85): deterministic, no
+    coordination, every item owned by exactly one process. Processes beyond
+    ``len(items)`` receive an empty slice.
+    """
+    items = list(items)
+    n = jax.process_count()
+    if n == 1:
+        return items
+    bounds = np.linspace(0, len(items), n + 1).astype(int)
+    i = jax.process_index()
+    return items[bounds[i]:bounds[i + 1]]
+
+
 def make_mesh(n_devices: int | None = None, axis_names=("data",), shape=None) -> Mesh:
     """Build a Mesh over the first ``n_devices`` local devices.
 

@@ -52,6 +52,29 @@ def run_pipeline(raw_dir: str, supp_dir: str, sites: Sequence[str], config,
                          f"available: {STAGES}")
     executed = []
 
+    # Multi-host fan-out: under a multi-process runtime (core.mesh.
+    # init_multihost), each process owns a static slice of WELLS — every
+    # stage of a well runs on the process that owns it, sharded over that
+    # process's local devices (the stage meshes are local, core/mesh.py::
+    # local_mesh). Well granularity keeps site-level stages (segmentation/
+    # patch) and well-level stages (assemble/process) coherent without any
+    # cross-host barrier until the pooled PCA fit. This is the reference's
+    # worker-per-GPU static split (run_segmentation.py:74-84,
+    # run_VAE.py:73-85) lifted to hosts.
+    import jax
+
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        from ..core.mesh import process_slice
+
+        all_wells = group_sites_by_well(sites)
+        my_wells = process_slice(sorted(all_wells))
+        sites = [s for w in sorted(all_wells) if w in my_wells
+                 for s in all_wells[w]]
+        log.info("[pipeline] process %d/%d owns wells %s (%d sites)",
+                 jax.process_index(), jax.process_count(), my_wells,
+                 len(sites))
+
     def run(stage: str, fn, skip_if=None):
         if stage not in stages:
             return
@@ -134,9 +157,20 @@ def run_pipeline(raw_dir: str, supp_dir: str, sites: Sequence[str], config,
 
         dr = config.dim_reduction
         if dr.input_dirs:
-            with stage_timer("pca"):
-                dim_reduction("pca", dr.input_dirs,
-                              dr.output_dirs or dr.input_dirs,
-                              dr.weights_dir, config)
-            executed.append("pca")
+            if multiproc:
+                # the PCA fit pools latents across ALL wells (reference
+                # run_dim_reduction.py:276-287): wait for every process's
+                # per-well outputs on the shared filesystem, then fit once.
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("dynamorph:pre-pca")
+            if not multiproc or jax.process_index() == 0:
+                with stage_timer("pca"):
+                    dim_reduction("pca", dr.input_dirs,
+                                  dr.output_dirs or dr.input_dirs,
+                                  dr.weights_dir, config)
+                executed.append("pca")
+            if multiproc:
+                # all processes leave together so callers can chain work
+                multihost_utils.sync_global_devices("dynamorph:post-pca")
     return executed

@@ -114,10 +114,10 @@ def encode_patches(model, params, state, dataset: np.ndarray,
     import jax
     import jax.numpy as jnp
 
-    if mesh is None and len(jax.devices()) > 1:
-        from ..core.mesh import make_mesh
+    if mesh is None and len(jax.local_devices()) > 1:
+        from ..core.mesh import local_mesh
 
-        mesh = make_mesh()
+        mesh = local_mesh()
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -273,11 +273,10 @@ def process_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
         model = EncodeProject(arch=le.network)
         params, state = _load_model_weights(model, model_path)
         dataset = zscore_patch(dataset).astype(np.float32)
-        mesh = None
-        if jax.device_count() > 1:
-            from ..core.mesh import make_mesh
+        # per-well share-nothing work: shard over LOCAL devices only
+        from ..core.mesh import local_mesh
 
-            mesh = make_mesh()
+        mesh = local_mesh()
         h_s = model.encode_batched(params, state, dataset, out="z",
                                    batch_size=batch_size, mesh=mesh)
         save_pickle(h_s, os.path.join(output_dir, f"{well}_latent_space.pkl"))

@@ -132,7 +132,11 @@ def run_preprocess(input_dir: str, output_dir: str, config) -> List[str]:
     pp = config.preprocess
     sites = discover_sites(input_dir, pp.fov, pp.pos_dir)
     outputs = []
-    for site in sorted(sites, key=str):
+    # multi-host fan-out: static site split across processes (reference
+    # run_preproc.py:96-119 forks workers over sites)
+    from ..core.mesh import process_slice
+
+    for site in process_slice(sorted(sites, key=str)):
         outputs.append(write_raw_to_npy(
             site, sites[site], output_dir, pp.channels, pp.z_slice,
             multipage=pp.multipage))

@@ -95,11 +95,17 @@ def fit_pca_distributed(train_data: np.ndarray,
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..core.mesh import make_mesh, shard_batch
+    from ..core.mesh import local_mesh, shard_batch
 
     n, d = train_data.shape
     if mesh is None:
-        mesh = make_mesh()
+        # LOCAL devices only: the pooled fit runs on ONE process (the
+        # orchestrator fits on process 0 after a barrier), so a global mesh
+        # would block in cross-process collectives the other hosts never
+        # join. Single local device -> plain SVD path.
+        mesh = local_mesh()
+    if mesh is None:
+        return fit_pca_device(train_data, variance_fraction)
     X, n_pad = shard_batch(train_data.astype(np.float32), mesh)
     # padding rows are edge-replicated by shard_batch; mask them out of the
     # statistics with a weight vector
@@ -152,9 +158,9 @@ def fit_pca(train_data: np.ndarray, weights_dir: str, labels,
     os.makedirs(weights_dir, exist_ok=True)
     import jax
 
-    if jax.device_count() > 1:
-        # multi-device hosts: shard the Gram accumulation over the mesh
-        # (equal components up to sign — see fit_pca_distributed)
+    if len(jax.local_devices()) > 1:
+        # multi-device hosts: shard the Gram accumulation over the LOCAL
+        # mesh (equal components up to sign — see fit_pca_distributed)
         pca = fit_pca_distributed(train_data, variance_fraction)
     else:
         pca = fit_pca_device(train_data, variance_fraction)

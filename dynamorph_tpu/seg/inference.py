@@ -31,7 +31,7 @@ def _predict_tiles(model, tiles: np.ndarray, batch_bucket: int = 8):
     import jax
 
     n = len(tiles)
-    n_dev = len(jax.devices())
+    n_dev = len(jax.local_devices())
     if n_dev > 1:
         # bucket must divide the mesh so every shard is equal
         batch_bucket = max(batch_bucket, n_dev)
@@ -49,12 +49,12 @@ def _predict_tiles(model, tiles: np.ndarray, batch_bucket: int = 8):
     if n_dev > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..core.mesh import make_mesh
+        from ..core.mesh import local_mesh
 
         # device_put the numpy array with the sharding directly: each shard
         # transfers straight to its device (staging via jnp.asarray would
         # land the whole batch on device 0 first, then reshard)
-        x = jax.device_put(x, NamedSharding(make_mesh(), P("data")))
+        x = jax.device_put(x, NamedSharding(local_mesh(), P("data")))
     y = _scaled_predict_fn(model)(model.params, model.state, x)
     y = np.asarray(y)[:n]
     # output spatial dims = the LAST two input dims: input_shape is
@@ -110,14 +110,14 @@ def predict_whole_map_direct(inputs: np.ndarray, model,
     assert x_full % 32 == 0 and y_full % 32 == 0, \
         "frame dims must be multiples of 32 for direct mode"
 
-    n_dev = len(jax.devices())
+    n_dev = len(jax.local_devices())
     put = jnp.asarray
     if n_dev > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..core.mesh import make_mesh
+        from ..core.mesh import local_mesh
 
-        mesh = make_mesh()
+        mesh = local_mesh()
         frame_batch = max(frame_batch, n_dev)
         frame_batch = (frame_batch // n_dev) * n_dev
         sh = NamedSharding(mesh, P("data"))

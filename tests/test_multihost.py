@@ -143,6 +143,173 @@ def run_train(problem, mesh, outdir):
     return history
 
 
+def build_pipeline_experiment(root: str, wells=("C4", "C5"), n_frames=12,
+                              size=256, n_cells=3, r=14):
+    """Two-well synthetic experiment (raw npy + NNProbabilities + tiny
+    VQ-VAE weights) on a shared filesystem, one site per well."""
+    import jax
+
+    from dynamorph_tpu.models import VQVAEz16
+    from dynamorph_tpu.train.checkpoint import save_checkpoint
+
+    raw = os.path.join(root, "raw")
+    supp = os.path.join(root, "supp")
+    os.makedirs(raw, exist_ok=True)
+    os.makedirs(supp, exist_ok=True)
+    yy, xx = np.mgrid[:size, :size]
+    for wi, well in enumerate(wells):
+        rng = np.random.RandomState(11 + wi)
+        centers0 = rng.randint(60, size - 60, size=(n_cells, 2))
+        images, segs = [], []
+        for t in range(n_frames):
+            centers = centers0 + rng.randint(-2, 3, size=centers0.shape) * t
+            img = rng.rand(2, 1, size, size) * 1000 + 30000
+            fg = np.zeros((size, size), bool)
+            for cy, cx in centers:
+                m = (yy - cy) ** 2 + (xx - cx) ** 2 < r ** 2
+                fg |= m
+                img[:, 0][:, m] += 10000
+            bg = np.where(fg, 0.05, 0.97)
+            mg = np.where(fg, 0.9, 0.02)
+            segs.append(np.stack([bg, mg, 1 - bg - mg])[:, None])
+            images.append(img)
+        np.save(os.path.join(raw, f"{well}-Site_0.npy"), np.stack(images))
+        np.save(os.path.join(raw, f"{well}-Site_0_NNProbabilities.npy"),
+                np.stack(segs))
+
+    model = VQVAEz16(num_embeddings=16, num_hiddens=8, num_residual_hiddens=8)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    weights = os.path.join(root, "weights")
+    save_checkpoint(weights, {"params": params, "state": state})
+    return raw, supp, weights
+
+
+def _pipeline_config(raw: str, weights: str, pca_dir: str, wells):
+    from dynamorph_tpu.config.schema import (DimReductionConfig,
+                                             LatentEncodingConfig,
+                                             PatchConfig, PipelineConfig)
+
+    return PipelineConfig(
+        patch=PatchConfig(channels=[0, 1], window_size=128, reload=False),
+        latent_encoding=LatentEncodingConfig(
+            channels=[0, 1], network="VQ_VAE_z16", num_hiddens=8,
+            num_residual_hiddens=8, num_embeddings=16,
+            weights=weights, save_output=False),
+        dim_reduction=DimReductionConfig(
+            input_dirs=[os.path.join(raw, "weights")],
+            output_dirs=[os.path.join(raw, "weights")],
+            weights_dir=pca_dir, fit_model=True,
+            file_name_prefixes=list(wells),
+            conditions=list(wells)))
+
+
+PIPELINE_STAGES = ["instance_segmentation", "extract_patches",
+                   "build_trajectories", "assemble", "process",
+                   "trajectory_matching", "pca"]
+
+
+def run_pipeline_worker(root: str, wells=("C4", "C5")):
+    """Body of one pipeline fan-out process: run the FULL stage chain over
+    both wells' sites; the orchestrator slices wells per process."""
+    from dynamorph_tpu.pipeline.orchestrator import run_pipeline
+
+    raw = os.path.join(root, "raw")
+    supp = os.path.join(root, "supp")
+    config = _pipeline_config(raw, os.path.join(root, "weights"),
+                              os.path.join(root, "pca_w"), wells)
+    sites = [f"{w}-Site_0" for w in wells]
+    return run_pipeline(raw, supp, sites, config, stages=PIPELINE_STAGES)
+
+
+PIPELINE_WORKER = """
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import json
+from dynamorph_tpu.core.mesh import init_multihost, process_slice
+
+pid, nproc, port, root = (int(sys.argv[1]), int(sys.argv[2]),
+                          int(sys.argv[3]), sys.argv[4])
+init_multihost(f"127.0.0.1:{{port}}", nproc, pid)
+assert jax.device_count() == 8 and len(jax.local_devices()) == 4
+
+from tests.test_multihost import run_pipeline_worker
+
+executed = run_pipeline_worker(root)
+print("OWNED:" + json.dumps(process_slice(["C4", "C5"])), flush=True)
+print("EXECUTED:" + json.dumps(executed), flush=True)
+"""
+
+
+def test_two_process_pipeline_fanout(tmp_path):
+    """2 processes x 4 local devices run the orchestrator over a 2-well
+    experiment: each process owns one well end-to-end (local-mesh stages),
+    the pooled PCA fit runs once on process 0 after a barrier, and the
+    combined outputs are complete for BOTH wells."""
+    from dynamorph_tpu.io.pickles import load_pickle
+
+    root = str(tmp_path)
+    build_pipeline_experiment(root)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if not f.startswith("--xla_force_host_platform_device_count")]
+    env["XLA_FLAGS"] = " ".join(
+        flags + ["--xla_force_host_platform_device_count=4"])
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", PIPELINE_WORKER.format(repo=REPO),
+             str(pid), "2", str(port), root],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=560)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err[-3000:]
+        outs.append(out)
+
+    def extract(tag, out):
+        lines = [l for l in out.splitlines() if l.startswith(tag + ":")]
+        assert lines, out[-2000:]
+        return json.loads(lines[0][len(tag) + 1:])
+
+    owned = [extract("OWNED", o) for o in outs]
+    executed = [extract("EXECUTED", o) for o in outs]
+
+    # deterministic disjoint covering split: one well per process
+    assert sorted(owned[0] + owned[1]) == ["C4", "C5"]
+    assert owned[0] and owned[1]
+    # pooled PCA ran on process 0 only
+    assert "pca" in executed[0]
+    assert "pca" not in executed[1]
+    assert set(PIPELINE_STAGES) - {"pca"} <= set(executed[0])
+    assert set(PIPELINE_STAGES) - {"pca"} <= set(executed[1])
+
+    # combined outputs complete for BOTH wells
+    raw = os.path.join(root, "raw")
+    out_dir = os.path.join(raw, "weights")
+    for well in ("C4", "C5"):
+        z_b = load_pickle(os.path.join(out_dir, f"{well}_latent_space.pkl"))
+        z_a = load_pickle(
+            os.path.join(out_dir, f"{well}_latent_space_after.pkl"))
+        assert len(z_b) == len(z_a) > 0
+        assert np.isfinite(np.asarray(z_b)).all()
+        assert len(load_pickle(
+            os.path.join(raw, f"{well}_trajectories.pkl"))) >= 1
+    assert os.path.exists(os.path.join(root, "pca_w", "pca_model.pkl"))
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
