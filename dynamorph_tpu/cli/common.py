@@ -45,6 +45,15 @@ def init_multihost_from_args(args) -> None:
     if getattr(args, "multihost", False):
         from ..core.mesh import init_multihost
 
+        explicit = (args.coordinator, args.num_processes, args.process_id)
+        if any(v is not None for v in explicit) and \
+                any(v is None for v in explicit):
+            # init_multihost only forwards the trio together; catching a
+            # partial set here beats silently auto-detecting the topology
+            raise SystemExit(
+                "--coordinator, --num-processes and --process-id must be "
+                "passed together (omit all three on TPU pods for "
+                "auto-detection)")
         init_multihost(args.coordinator, args.num_processes, args.process_id)
 
 
@@ -54,13 +63,14 @@ def shard_work(items):
     logs."""
     import jax
 
-    from ..core.mesh import process_slice
+    from ..core.mesh import is_multiprocess, process_slice
 
+    items = list(items)
     mine = process_slice(items)
-    if jax.process_count() > 1:
+    if is_multiprocess():
         logging.getLogger(__name__).info(
             "process %d/%d owns %d of %d work items", jax.process_index(),
-            jax.process_count(), len(mine), len(list(items)))
+            jax.process_count(), len(mine), len(items))
     return mine
 
 

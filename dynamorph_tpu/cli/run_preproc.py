@@ -5,17 +5,21 @@ Usage: python -m dynamorph_tpu.cli.run_preproc -c <config.yml>
 """
 from __future__ import annotations
 
-from ..pipeline.preprocess import run_preprocess
-from .common import parse_method_config
+from ..pipeline.preprocess import discover_sites, run_preprocess
+from .common import parse_method_config, shard_work
 
 
 def main():
     _, config = parse_method_config(choices=["preprocess"],
                                     default="preprocess",
                                     require_method=False)
-    for src, target in zip(config.preprocess.image_dirs,
-                           config.preprocess.target_dirs):
-        run_preprocess(src, target, config)
+    pp = config.preprocess
+    for src, target in zip(pp.image_dirs, pp.target_dirs):
+        # multi-host fan-out: static site split across processes (reference
+        # run_preproc.py:96-119 forks workers over sites)
+        mine = shard_work(sorted(discover_sites(src, pp.fov, pp.pos_dir),
+                                 key=str))
+        run_preprocess(src, target, config, sites=mine)
 
 
 if __name__ == "__main__":

@@ -22,6 +22,12 @@ Per frame, this stage:
 5. runs the fused window/mask/fill patch program (ops/patch.py) and
    downloads only the final patches.
 
+The loop is software-pipelined: frame t+1's upload + U-Net dispatch
+happen before frame t's host work (``lookahead=True``), and frame t's
+patch-bucket download, pickle assembly and probability-map fetch all
+drain on the bounded writer thread — so the main thread's steady-state
+cost is DBSCAN plus dispatches, with transfers overlapped both ways.
+
 Outputs are the same artifacts as the three staged stages: per-site
 ``cell_positions.pkl``, ``cell_pixel_assignments.pkl``, instance-map PNGs,
 ``stacks_<t>.pkl`` (via the shared ``extract_frame_site_data``), and —
@@ -49,7 +55,7 @@ from ..ops.patch import (median_background, pack_mask_bits,
                          scatter_label_map)
 from ..track.clustering import (cluster_foreground_positions,
                                 save_instance_map)
-from .patch import (_round_up, extract_frame_site_data,
+from .patch import (_round_up, assemble_site_data, dispatch_cell_patches,
                     filter_boundary_cells)
 
 log = logging.getLogger(__name__)
@@ -136,7 +142,8 @@ def process_site_seg_patch_fused(
         fg_thr: float = 0.3, ct_thr: Tuple[int, int] = (500, 12000),
         dbscan_thr: Tuple[int, int] = (10, 250),
         save_probabilities: bool = True,
-        out_prob_path: Optional[str] = None, device=None) -> None:
+        out_prob_path: Optional[str] = None, device=None,
+        lookahead: bool = True) -> None:
     """Segment + cluster + extract patches for one site with the frame and
     probability map resident in HBM throughout (see module docstring).
 
@@ -146,6 +153,10 @@ def process_site_seg_patch_fused(
     ``device``: optional jax.Device to pin this site's programs to —
     site-parallel workers give each site its own chip (see
     ``seg_patch_fused``); None uses the default device.
+
+    ``lookahead``: enqueue frame t+1's upload + U-Net before the host work
+    on frame t (software pipelining; holds two frames' HBM residents).
+    Disable only if a frame's residents don't fit HBM twice.
     """
     import jax
     import jax.numpy as jnp
@@ -173,13 +184,24 @@ def process_site_seg_patch_fused(
 
     cell_positions = {}
     cell_pixel_assignments = {}
-    prob_frames = [] if save_probabilities else None
+    prob_frames = [None] * n_frames if save_probabilities else None
+
+    def dispatch_seg(t_point):
+        raw_u16 = np.ascontiguousarray(image_stack[t_point, :, 0])
+        return seg_frame(params, state, put(raw_u16))
 
     writer = AsyncWriter(depth=2)
     try:
+        pending = None
         for t_point in range(n_frames):
-            raw_u16 = np.ascontiguousarray(image_stack[t_point, :, 0])
-            raw_f, probs, packed = seg_frame(params, state, put(raw_u16))
+            raw_f, probs, packed = (pending if pending is not None
+                                    else dispatch_seg(t_point))
+            # one-frame lookahead: enqueue frame t+1's upload + U-Net before
+            # any host work on frame t, so the device segments t+1 while the
+            # host runs DBSCAN and drains t's patch downloads (the device
+            # queue is FIFO; holding two frames' residents is ~100 MB)
+            pending = dispatch_seg(t_point + 1) \
+                if (lookahead and t_point + 1 < n_frames) else None
 
             # host: unpack the bitmask -> row-major foreground coords (same
             # order as np.where in the staged path) -> DBSCAN + filters
@@ -206,7 +228,7 @@ def process_site_seg_patch_fused(
                                                skip_boundary)
             cell_positions[t_point] = kept_cells
 
-            site_data = {}
+            patch_out = None
             if kept_cells:
                 n = len(positions)
                 coord_bucket = min(_COORD_BUCKET, x_size * y_size)
@@ -224,17 +246,25 @@ def process_site_seg_patch_fused(
                 labs[:n] = positions_labels
                 lab_dev, raw2d_dev, bg_fill = patch_inputs(
                     raw_f, probs, put(coords), put(labs))
-                site_data = extract_frame_site_data(
+                patch_out = dispatch_cell_patches(
                     raw2d_dev, lab_dev, bg_fill, kept_cells,
-                    site_supp_files_folder, t_point, window_size=window_size,
-                    cell_bucket=cell_bucket, save_fig=save_fig)
-            # serialize + write the ~100 MB float64 stacks pickle on a bounded
-            # background thread while the next frame runs on device
-            writer.submit(save_pickle, site_data,
-                          os.path.join(site_supp_files_folder,
-                                       "stacks_%d.pkl" % t_point))
-            if prob_frames is not None:
-                prob_frames.append(np.asarray(probs))
+                    window_size=window_size, cell_bucket=cell_bucket)
+
+            # the patch-bucket download, pickle assembly and write — and
+            # the probability-map download — all drain on the bounded
+            # writer thread, overlapping the next frame's DBSCAN and
+            # device programs (the writer holds <= depth frames' buffers)
+            def fetch_and_save(out=patch_out, kept=kept_cells, t=t_point,
+                               p=probs):
+                save_pickle(
+                    assemble_site_data(out, kept, site_supp_files_folder,
+                                       t, save_fig=save_fig),
+                    os.path.join(site_supp_files_folder,
+                                 "stacks_%d.pkl" % t))
+                if prob_frames is not None:
+                    prob_frames[t] = np.asarray(p)
+
+            writer.submit(fetch_and_save)
 
     finally:
         writer.close()

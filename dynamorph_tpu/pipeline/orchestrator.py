@@ -63,7 +63,9 @@ def run_pipeline(raw_dir: str, supp_dir: str, sites: Sequence[str], config,
     # run_VAE.py:73-85) lifted to hosts.
     import jax
 
-    multiproc = jax.process_count() > 1
+    from ..core.mesh import is_main_process, is_multiprocess
+
+    multiproc = is_multiprocess()
     if multiproc:
         from ..core.mesh import process_slice
 
@@ -164,13 +166,18 @@ def run_pipeline(raw_dir: str, supp_dir: str, sites: Sequence[str], config,
                 from jax.experimental import multihost_utils
 
                 multihost_utils.sync_global_devices("dynamorph:pre-pca")
-            if not multiproc or jax.process_index() == 0:
-                with stage_timer("pca"):
-                    dim_reduction("pca", dr.input_dirs,
-                                  dr.output_dirs or dr.input_dirs,
-                                  dr.weights_dir, config)
-                executed.append("pca")
-            if multiproc:
-                # all processes leave together so callers can chain work
-                multihost_utils.sync_global_devices("dynamorph:post-pca")
+            try:
+                if not multiproc or is_main_process():
+                    with stage_timer("pca"):
+                        dim_reduction("pca", dr.input_dirs,
+                                      dr.output_dirs or dr.input_dirs,
+                                      dr.weights_dir, config)
+                    executed.append("pca")
+            finally:
+                if multiproc:
+                    # all processes leave together even if the fit raised on
+                    # process 0 — otherwise the other hosts hang in the
+                    # barrier until the coordination timeout; the exception
+                    # still propagates after the sync
+                    multihost_utils.sync_global_devices("dynamorph:post-pca")
     return executed

@@ -47,22 +47,47 @@ def extract_frame_site_data(raw_dev, labels_dev, bg_fill, kept_cells,
     ``raw_dev``: (C, H, W) f32 (device or host); ``labels_dev``: (H, W)
     int32; ``bg_fill``: (C,) medians; ``kept_cells``: [(cell_id, center)].
     """
+    out = dispatch_cell_patches(raw_dev, labels_dev, bg_fill, kept_cells,
+                                window_size=window_size,
+                                cell_bucket=cell_bucket)
+    return assemble_site_data(out, kept_cells, site_supp_files_folder,
+                              t_point, save_fig=save_fig)
+
+
+def dispatch_cell_patches(raw_dev, labels_dev, bg_fill, kept_cells,
+                          window_size: int = 256, cell_bucket: int = 32):
+    """Device half of ``extract_frame_site_data``: enqueue the fused
+    window/mask/fill program and return the padded device buffers WITHOUT
+    fetching, so callers can drain the download on a writer thread while
+    the next frame runs (pipeline/fused.py)."""
     import jax.numpy as jnp
 
-    site_data: Dict[str, dict] = {}
     n = len(kept_cells)
     if n == 0:
-        return site_data
+        return None
     n_pad = _round_up(n, cell_bucket)
     centers = np.zeros((n_pad, 2), np.int32)
     ids = np.full((n_pad,), -999, np.int32)
     for i, (cid, pos) in enumerate(kept_cells):
         centers[i] = (pos[0], pos[1])
         ids[i] = cid
-    out = extract_cell_patches(
+    return extract_cell_patches(
         jnp.asarray(raw_dev), jnp.asarray(labels_dev),
         jnp.asarray(centers), jnp.asarray(ids),
         jnp.asarray(bg_fill), window_size=window_size)
+
+
+def assemble_site_data(out, kept_cells, site_supp_files_folder: str,
+                       t_point: int, save_fig: bool = False
+                       ) -> Dict[str, dict]:
+    """Host half of ``extract_frame_site_data``: fetch the padded bucket
+    and assemble the reference ``stacks_<t>.pkl`` layout. Thread-safe
+    (no device dispatch; pure fetch + numpy), so it can run on an
+    io.prefetch.AsyncWriter thread."""
+    site_data: Dict[str, dict] = {}
+    n = len(kept_cells)
+    if out is None or n == 0:
+        return site_data
     # Fetch the full bucket: slicing on device would create a new tiny
     # program per distinct n (a fresh compile each time); fetching the
     # already-materialised buffers needs none. Masks travel as uint8

@@ -127,17 +127,24 @@ def discover_sites(input_dir: str, fovs: Union[str, List],
     return sites
 
 
-def run_preprocess(input_dir: str, output_dir: str, config) -> List[str]:
-    """Full preprocess stage for one experiment directory."""
-    pp = config.preprocess
-    sites = discover_sites(input_dir, pp.fov, pp.pos_dir)
-    outputs = []
-    # multi-host fan-out: static site split across processes (reference
-    # run_preproc.py:96-119 forks workers over sites)
-    from ..core.mesh import process_slice
+def run_preprocess(input_dir: str, output_dir: str, config,
+                   sites=None) -> List[str]:
+    """Full preprocess stage for one experiment directory.
 
-    for site in process_slice(sorted(sites, key=str)):
+    ``sites``: optional subset of site names to process (multi-host CLIs
+    pass this process's slice — cli/run_preproc.py; the library default
+    processes everything discovered, so programmatic callers always get
+    complete output).
+    """
+    pp = config.preprocess
+    discovered = discover_sites(input_dir, pp.fov, pp.pos_dir)
+    names = sorted(discovered, key=str)
+    if sites is not None:
+        wanted = set(sites)
+        names = [s for s in names if s in wanted]
+    outputs = []
+    for site in names:
         outputs.append(write_raw_to_npy(
-            site, sites[site], output_dir, pp.channels, pp.z_slice,
+            site, discovered[site], output_dir, pp.channels, pp.z_slice,
             multipage=pp.multipage))
     return outputs

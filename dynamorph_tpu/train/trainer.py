@@ -147,8 +147,10 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
     train_step = make_train_step(model, optimizer, mesh=mesh, augment=transform)
     eval_step = make_eval_step(model, mesh=mesh)
 
-    multiproc = mesh is not None and jax.process_count() > 1
-    is_main = jax.process_index() == 0
+    from ..core.mesh import is_main_process, is_multiprocess
+
+    multiproc = mesh is not None and is_multiprocess()
+    is_main = is_main_process()
     if multiproc:
         from ..core.mesh import batch_sharding, put_global, replicated_sharding
         from jax.sharding import NamedSharding, PartitionSpec as P
