@@ -80,12 +80,12 @@ def _run_staged(site_path, supp):
     return prob_path
 
 
-def _run_fused(site_path, supp):
+def _run_fused(site_path, supp, **kw):
     from dynamorph_tpu.pipeline.fused import process_site_seg_patch_fused
 
     process_site_seg_patch_fused(
         site_path, StubSeg(), supp, seg_channels=[0, 1],
-        patch_channels=[0, 1], window_size=32, **CLUSTER)
+        patch_channels=[0, 1], window_size=32, **CLUSTER, **kw)
     return os.path.splitext(site_path)[0] + "_NNProbabilities.npy"
 
 
@@ -139,6 +139,31 @@ def test_fused_matches_staged(tmp_path):
         assert os.path.exists(os.path.join(supp_fused,
                                            f"segmentation_{t}.png"))
     assert os.path.exists(str(tmp_path / "b" / "C5-Site_0_NNpred.png"))
+
+
+def test_fused_lookahead_off_matches_on(tmp_path):
+    """lookahead=False (no software pipelining) produces bit-identical
+    artifacts — the pipelined loop is a pure scheduling change."""
+    site_on = _make_site(tmp_path / "on", "C5-Site_0")
+    site_off = _make_site(tmp_path / "off", "C5-Site_0")
+    supp_on = str(tmp_path / "on" / "supp")
+    supp_off = str(tmp_path / "off" / "supp")
+    os.makedirs(supp_on), os.makedirs(supp_off)
+    prob_on = _run_fused(site_on, supp_on, lookahead=True)
+    prob_off = _run_fused(site_off, supp_off, lookahead=False)
+    np.testing.assert_array_equal(np.load(prob_on), np.load(prob_off))
+    cp_on = load_pickle(os.path.join(supp_on, "cell_positions.pkl"))
+    cp_off = load_pickle(os.path.join(supp_off, "cell_positions.pkl"))
+    assert repr(cp_on) == repr(cp_off)
+    assert any(len(v) for v in cp_on.values())
+    for t in range(3):
+        a = _stack_by_basename(supp_on, t)
+        b = _stack_by_basename(supp_off, t)
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_array_equal(a[k]["mat"], b[k]["mat"])
+            np.testing.assert_array_equal(a[k]["masked_mat"],
+                                          b[k]["masked_mat"])
 
 
 def test_fused_skip_boundary_and_no_probs(tmp_path):
