@@ -168,13 +168,13 @@ def process_site_extract_patches(site_path: str, site_segmentation_path: str,
                     continue
                 except Exception as e:
                     log.warning("failed reloading %s: %s", stack_path, e)
-            site_data: Dict[str, dict] = {}
             raw_image = image_stack[t_point]            # (C, Z, H, W)
             cell_segmentation = check_segmentation_dim(
                 segmentation_stack[t_point])
             positions, positions_labels = cell_pixel_assignments[t_point]
             kept_cells = filter_boundary_cells(cell_positions[t_point], half,
                                                x_size, y_size, skip_boundary)
+            patch_out = None
             if kept_cells:
                 raw2d = raw_image[:, 0].astype(np.float32)      # z squeezed
                 bg_fill = median_background(
@@ -182,13 +182,20 @@ def process_site_extract_patches(site_path: str, site_segmentation_path: str,
                         cell_segmentation[0, 0].astype(np.float32)))
                 labels = labels_to_map((x_size, y_size), positions,
                                        positions_labels)
-                site_data = extract_frame_site_data(
+                patch_out = dispatch_cell_patches(
                     raw2d, labels, bg_fill, kept_cells,
-                    site_supp_files_folder, t_point, window_size=window_size,
-                    cell_bucket=cell_bucket, save_fig=save_fig)
-            # serialize + write the float64 stacks pickle on a bounded
-            # background thread while the next frame runs on device
-            writer.submit(save_pickle, site_data, stack_path)
+                    window_size=window_size, cell_bucket=cell_bucket)
+
+            # the patch-bucket download, pickle assembly and write drain on
+            # the bounded writer thread, overlapping the next frame's
+            # device programs (same pipelining as pipeline/fused.py)
+            def fetch_and_save(out=patch_out, kept=kept_cells, t=t_point,
+                               path=stack_path):
+                save_pickle(
+                    assemble_site_data(out, kept, site_supp_files_folder,
+                                       t, save_fig=save_fig), path)
+
+            writer.submit(fetch_and_save)
             cell_positions[t_point] = kept_cells
     finally:
         writer.close()
