@@ -21,6 +21,10 @@ from ..models.unet import UNet, weighted_ce_loss
 from ..train.checkpoint import restore_checkpoint, save_checkpoint
 from .data import preprocess
 
+# fit() keeps the training set in HBM across epochs up to this many bytes
+# (v5e: 16 GB HBM; leave room for params, optimizer moments, activations)
+_DEVICE_RESIDENT_BUDGET = 4 * 1024**3
+
 
 class Segment:
     """U-Net semantic segmentation model (reference NNsegmentation/models.py:32).
@@ -137,6 +141,21 @@ class Segment:
         history = []
         rng = np.random.RandomState(seed)
         n = X.shape[0]
+        # Keep the dataset device-resident across epochs when it fits: the
+        # host-streaming loop re-uploads all of X/y every epoch (as the
+        # keras reference does each fit pass, models.py:98-156); resident,
+        # only a per-batch int32 index vector travels and batches gather on
+        # device. Numerics identical (gather is exact, same draw order).
+        resident = (X.nbytes + y.nbytes) <= _DEVICE_RESIDENT_BUDGET
+        if resident:
+            X_src, y_src = jax.device_put(X), jax.device_put(y)
+            # one program per batch shape (full + remainder), NOT per
+            # offset — slicing a device array at distinct starts would
+            # compile a fresh program each (static slice starts)
+            gather = jax.jit(lambda xs, ys, b: (jnp.take(xs, b, axis=0),
+                                                jnp.take(ys, b, axis=0)))
+            if valid is not None:
+                valid = (jax.device_put(valid[0]), jax.device_put(valid[1]))
         for epoch in range(n_epochs):
             order = rng.permutation(n)
             # losses accumulate on device; one host fetch per epoch (a
@@ -144,9 +163,13 @@ class Segment:
             loss_sum, n_b = None, 0
             for i in range(0, n, batch_size):
                 bids = order[i: i + batch_size]
+                if resident:
+                    xb, yb = gather(X_src, y_src,
+                                    jnp.asarray(bids.astype(np.int32)))
+                else:
+                    xb, yb = jnp.asarray(X[bids]), jnp.asarray(y[bids])
                 self.params, self.state, opt_state, loss = step(
-                    self.params, self.state, opt_state,
-                    jnp.asarray(X[bids]), jnp.asarray(y[bids]))
+                    self.params, self.state, opt_state, xb, yb)
                 loss_sum = loss if loss_sum is None else loss_sum + loss
                 n_b += 1
             epoch_loss = float(loss_sum) / n_b
@@ -180,10 +203,18 @@ class Segment:
         from sklearn.metrics import f1_score, roc_auc_score
 
         vX, vy = valid
+        on_device = not isinstance(vX, np.ndarray)
         logits = []
         for i in range(0, len(vX), 8):
-            lg, _ = self._logits_fn(self.params, self.state,
-                                    jnp.asarray(vX[i: i + 8]))
+            if on_device:
+                # gather with an uploaded index vector: slicing a device
+                # array at distinct starts compiles a program per offset
+                idx = jnp.asarray(np.arange(i, min(i + 8, len(vX)),
+                                            dtype=np.int32))
+                xb = jnp.take(vX, idx, axis=0)
+            else:
+                xb = jnp.asarray(vX[i: i + 8])
+            lg, _ = self._logits_fn(self.params, self.state, xb)
             logits.append(np.asarray(lg))
         logits = np.concatenate(logits)
         val_loss = float(weighted_ce_loss(jnp.asarray(logits),
