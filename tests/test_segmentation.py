@@ -145,6 +145,29 @@ def test_segment_fit_reduces_loss(tmp_path, rng):
     assert "val_roc_auc" in history[-1]
 
 
+def test_segment_fit_device_resident_matches_streaming(tmp_path, rng,
+                                                       monkeypatch):
+    """fit()'s device-resident dataset path (upload once, gather per batch)
+    must produce the same training trajectory as host streaming."""
+    import dynamorph_tpu.seg.model as seg_model
+
+    inputs, labels = _scene(rng, size=64)
+    patches = generate_ordered_patches(inputs, labels, x_size=32, y_size=32)
+
+    m1 = Segment(input_shape=(2, 32, 32), n_classes=3,
+                 model_path=str(tmp_path / "res"))
+    h1 = m1.fit(patches, batch_size=4, n_epochs=2, valid_patches=patches[:4])
+
+    monkeypatch.setattr(seg_model, "_DEVICE_RESIDENT_BUDGET", 0)
+    m2 = Segment(input_shape=(2, 32, 32), n_classes=3,
+                 model_path=str(tmp_path / "str"))
+    h2 = m2.fit(patches, batch_size=4, n_epochs=2, valid_patches=patches[:4])
+
+    for a, b in zip(h1, h2):
+        assert abs(a["loss"] - b["loss"]) < 1e-5
+        assert abs(a["val_loss"] - b["val_loss"]) < 1e-4
+
+
 def test_predict_whole_map_merging(tmp_path, rng):
     """Tiled inference covers the full frame and ensemble passes average."""
     inputs, _ = _scene(rng, size=128, n_frames=1)
