@@ -156,55 +156,88 @@ class Segment:
                                                 jnp.take(ys, b, axis=0)))
             if valid is not None:
                 valid = (jax.device_put(valid[0]), jax.device_put(valid[1]))
-        for epoch in range(n_epochs):
-            order = rng.permutation(n)
-            # losses accumulate on device; one host fetch per epoch (a
-            # per-batch float() would sync device->host every step)
-            loss_sum, n_b = None, 0
-            for i in range(0, n, batch_size):
-                bids = order[i: i + batch_size]
-                if resident:
-                    xb, yb = gather(X_src, y_src,
-                                    jnp.asarray(bids.astype(np.int32)))
-                else:
-                    xb, yb = jnp.asarray(X[bids]), jnp.asarray(y[bids])
-                self.params, self.state, opt_state, loss = step(
-                    self.params, self.state, opt_state, xb, yb)
-                loss_sum = loss if loss_sum is None else loss_sum + loss
-                n_b += 1
-            epoch_loss = float(loss_sum) / n_b
-            if not np.isfinite(epoch_loss):  # TerminateOnNaN (per epoch)
-                print("NaN loss encountered, terminating training")
-                return history
-            rec = {"epoch": epoch, "loss": epoch_loss}
-            if valid is not None:
-                rec.update(self._validate(valid))
-                # ReduceLROnPlateau(patience=5, min_lr=1e-7)
-                if rec["val_loss"] < best_val - 1e-12:
-                    best_val, plateau = rec["val_loss"], 0
-                else:
-                    plateau += 1
-                    if plateau >= 5 and self._lr * lr_scale > 1e-7:
-                        lr_scale *= 0.1
-                        optimizer, step = self._make_step(
-                            max(self._lr * lr_scale, 1e-7))
-                        opt_state = optimizer.init(self.params)
-                        plateau = 0
-                self.save(os.path.join(
-                    self.model_path,
-                    "weights.%02d-%.2f" % (epoch, rec["val_loss"])))
-            history.append(rec)
-            print(f"epoch {epoch}: " +
-                  "  ".join(f"{k}:{v:.4f}" for k, v in rec.items()
-                            if k != "epoch"))
+        from ..io.prefetch import AsyncWriter
+
+        saver = AsyncWriter(depth=1)
+        try:
+            for epoch in range(n_epochs):
+                order = rng.permutation(n)
+                # losses accumulate on device; one host fetch per epoch (a
+                # per-batch float() would sync device->host every step)
+                loss_sum, n_b = None, 0
+                for i in range(0, n, batch_size):
+                    bids = order[i: i + batch_size]
+                    if resident:
+                        xb, yb = gather(X_src, y_src,
+                                        jnp.asarray(bids.astype(np.int32)))
+                    else:
+                        xb, yb = jnp.asarray(X[bids]), jnp.asarray(y[bids])
+                    self.params, self.state, opt_state, loss = step(
+                        self.params, self.state, opt_state, xb, yb)
+                    loss_sum = loss if loss_sum is None else loss_sum + loss
+                    n_b += 1
+                epoch_loss = float(loss_sum) / n_b
+                if not np.isfinite(epoch_loss):  # TerminateOnNaN (per epoch)
+                    print("NaN loss encountered, terminating training")
+                    return history
+                rec = {"epoch": epoch, "loss": epoch_loss}
+                if valid is not None:
+                    rec.update(self._validate(valid))
+                    # ReduceLROnPlateau(patience=5, min_lr=1e-7)
+                    if rec["val_loss"] < best_val - 1e-12:
+                        best_val, plateau = rec["val_loss"], 0
+                    else:
+                        plateau += 1
+                        if plateau >= 5 and self._lr * lr_scale > 1e-7:
+                            lr_scale *= 0.1
+                            optimizer, step = self._make_step(
+                                max(self._lr * lr_scale, 1e-7))
+                            opt_state = optimizer.init(self.params)
+                            plateau = 0
+                    # per-epoch checkpoint on the writer thread: the device
+                    # buffers are immutable snapshots (the next epoch binds
+                    # NEW param arrays), so fetching them later is safe and
+                    # the fetch + disk write overlap the next epoch
+                    saver.submit(save_checkpoint,
+                                 os.path.join(self.model_path,
+                                              "weights.%02d-%.2f"
+                                              % (epoch, rec["val_loss"])),
+                                 {"params": self.params,
+                                  "state": self.state})
+                history.append(rec)
+                print(f"epoch {epoch}: " +
+                      "  ".join(f"{k}:{v:.4f}" for k, v in rec.items()
+                                if k != "epoch"))
+        finally:
+            saver.close()
         return history
+
+    def _val_batch_fn(self):
+        """Jitted per-batch validation program, cached on the instance:
+        weighted-CE SUM (so batches of unequal size combine into the exact
+        global mean) + class-0 softmax probabilities — only (B, H, W)
+        floats and a scalar leave the device, versus fetching full logits
+        and re-uploading them for the loss."""
+        fn = getattr(self, "_val_fn", None)
+        if fn is None:
+            def _val_batch(p, s, x, y):
+                logits, _ = self._apply_logits(p, s, x, False)
+                w = y[:, -1]
+                lab = y[:, :-1]
+                logp = jax.nn.log_softmax(logits, axis=1)
+                ce = -jnp.sum(lab * logp, axis=1) * w
+                return jnp.sum(ce), jax.nn.softmax(logits, axis=1)[:, 0]
+
+            fn = self._val_fn = jax.jit(_val_batch)
+        return fn
 
     def _validate(self, valid) -> dict:
         from sklearn.metrics import f1_score, roc_auc_score
 
         vX, vy = valid
         on_device = not isinstance(vX, np.ndarray)
-        logits = []
+        val_fn = self._val_batch_fn()
+        ce_sum, preds = None, []
         for i in range(0, len(vX), 8):
             if on_device:
                 # gather with an uploaded index vector: slicing a device
@@ -212,16 +245,22 @@ class Segment:
                 idx = jnp.asarray(np.arange(i, min(i + 8, len(vX)),
                                             dtype=np.int32))
                 xb = jnp.take(vX, idx, axis=0)
+                yb = jnp.take(vy, idx, axis=0)
             else:
                 xb = jnp.asarray(vX[i: i + 8])
-            lg, _ = self._logits_fn(self.params, self.state, xb)
-            logits.append(np.asarray(lg))
-        logits = np.concatenate(logits)
-        val_loss = float(weighted_ce_loss(jnp.asarray(logits),
-                                          jnp.asarray(vy)))
-        probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=1))
-        y_pred = probs[:, 0]
-        y_true = vy[:, 0] > 0.5
+                yb = jnp.asarray(vy[i: i + 8])
+            s, p0 = val_fn(self.params, self.state, xb, yb)
+            ce_sum = s if ce_sum is None else ce_sum + s
+            preds.append(np.asarray(p0))
+        y_pred = np.concatenate(preds)
+        val_loss = float(ce_sum) / y_pred.size
+        # ground-truth mask is constant across epochs: fetch/compute once
+        # per validation set (keyed on the array fit() holds alive)
+        cached = getattr(self, "_val_true_cache", None)
+        if cached is None or cached[0] is not vy:
+            cached = (vy, np.asarray(vy[:, 0] > 0.5))
+            self._val_true_cache = cached
+        y_true = cached[1]
         try:
             roc = roc_auc_score(y_true.flatten(), y_pred.flatten())
             f1 = f1_score(y_true.flatten(), y_pred.flatten() > 0.5)
