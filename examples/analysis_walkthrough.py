@@ -56,6 +56,11 @@ def main(root):
     rng = np.random.RandomState(0)
 
     from dynamorph_tpu.analysis import plots
+
+    from dynamorph_tpu.core.compile_cache import enable_persistent_cache
+
+    # warm-start repeated runs: reuse compiled XLA programs across processes
+    enable_persistent_cache()
     from dynamorph_tpu.analysis.state_clustering import (
         trajectory_summaries, well_conditioned_gmm)
     from dynamorph_tpu.analysis.trajectory_dynamics import plot_msd

@@ -22,6 +22,11 @@ def main(root, n_frames=12):
 
     from synthetic_workflow import make_experiment
 
+    from dynamorph_tpu.core.compile_cache import enable_persistent_cache
+
+    # warm-start repeated runs: reuse compiled XLA programs across processes
+    enable_persistent_cache()
+
     from dynamorph_tpu.config.schema import (LatentEncodingConfig,
                                              PatchConfig, PipelineConfig,
                                              SegmentationInferenceConfig)

@@ -44,6 +44,11 @@ def make_experiment(root, n_frames=14, size=512, n_cells=4, r=18, seed=0):
 def main(root):
     import jax
 
+    from dynamorph_tpu.core.compile_cache import enable_persistent_cache
+
+    # warm-start repeated runs: reuse compiled XLA programs across processes
+    enable_persistent_cache()
+
     from dynamorph_tpu.config.schema import (LatentEncodingConfig,
                                              PatchConfig, PipelineConfig)
     from dynamorph_tpu.io.pickles import load_pickle
