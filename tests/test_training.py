@@ -100,6 +100,37 @@ def test_trainer_smoke(tmp_path, rng):
     assert (tmp_path / "metrics.jsonl").exists()
 
 
+def test_trainer_resident_feed_matches_streaming(tmp_path, rng, monkeypatch):
+    """The device-resident feed (dataset uploaded once, batches gathered on
+    device) must train identically to the host-streamed feed — including
+    masks and the relation-matrix time-matching loss."""
+    import dynamorph_tpu.train.trainer as trainer_mod
+    from dynamorph_tpu.train.trainer import train_vqvae
+
+    model = VQVAEz32(num_embeddings=8, num_hiddens=8, num_residual_hiddens=8)
+    dataset = rng.rand(24, 2, 32, 32).astype(np.float32)
+    mask = np.where(rng.rand(24, 2, 32, 32) > 0.5, 1.0, -1.0)
+    relations = {(0, 1): 2, (1, 0): 2, (1, 2): 2, (2, 1): 2, (5, 6): 1}
+    ds, rel_mat, order = data_utils.reorder_with_trajectories(
+        dataset, relations, seed=0)
+    mask = mask[order]
+
+    p1, s1, h1 = train_vqvae(model, ds, str(tmp_path / "res"),
+                             relation_mat=rel_mat, mask=mask, n_epochs=2,
+                             batch_size=8, patience=5, transform=True)
+    monkeypatch.setattr(trainer_mod, "_DEVICE_RESIDENT_BUDGET", 0)
+    p2, s2, h2 = train_vqvae(model, ds, str(tmp_path / "str"),
+                             relation_mat=rel_mat, mask=mask, n_epochs=2,
+                             batch_size=8, patience=5, transform=True)
+    for r1, r2 in zip(h1, h2):
+        for split in ("train", "val"):
+            for k in r1[split]:
+                assert abs(r1[split][k] - r2[split][k]) < 1e-5, (k, r1, r2)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_trainer_resume_restores_optimizer_and_epoch(tmp_path, rng):
     from dynamorph_tpu.train.trainer import train_vqvae
 
