@@ -20,6 +20,23 @@ def _write_cfg(tmp_path, sections, name="cfg.yml"):
     return str(p)
 
 
+def test_multihost_partial_flags_rejected():
+    """--num-processes/--process-id without --coordinator must error rather
+    than silently auto-detect the topology (cli/common.py)."""
+    import argparse
+
+    from dynamorph_tpu.cli.common import init_multihost_from_args
+
+    args = argparse.Namespace(multihost=True, coordinator=None,
+                              num_processes=2, process_id=0)
+    with pytest.raises(SystemExit):
+        init_multihost_from_args(args)
+    # multihost off: flags ignored entirely, no init attempted
+    args = argparse.Namespace(multihost=False, coordinator=None,
+                              num_processes=2, process_id=None)
+    init_multihost_from_args(args)
+
+
 def test_run_preproc_cli(tmp_path, monkeypatch):
     """pos_dir TIFF layout -> (T, 3, 1, Y, X) npy per site (reference
     run_preproc.py)."""
