@@ -16,10 +16,12 @@ def main():
     pp = config.preprocess
     for src, target in zip(pp.image_dirs, pp.target_dirs):
         # multi-host fan-out: static site split across processes (reference
-        # run_preproc.py:96-119 forks workers over sites)
-        mine = shard_work(sorted(discover_sites(src, pp.fov, pp.pos_dir),
-                                 key=str))
-        run_preprocess(src, target, config, sites=mine)
+        # run_preproc.py:96-119 forks workers over sites); discovery runs
+        # once and the sliced mapping is handed straight through
+        discovered = discover_sites(src, pp.fov, pp.pos_dir)
+        mine = shard_work(sorted(discovered, key=str))
+        run_preprocess(src, target, config,
+                       sites={k: discovered[k] for k in mine})
 
 
 if __name__ == "__main__":

@@ -30,7 +30,8 @@ cost is DBSCAN plus dispatches, with transfers overlapped both ways.
 
 Outputs are the same artifacts as the three staged stages: per-site
 ``cell_positions.pkl``, ``cell_pixel_assignments.pkl``, instance-map PNGs,
-``stacks_<t>.pkl`` (via the shared ``extract_frame_site_data``), and —
+``stacks_<t>.pkl`` (via the shared ``dispatch_cell_patches`` +
+``assemble_site_data`` halves in pipeline/patch.py), and —
 unless ``save_probabilities=False`` — ``<site>_NNProbabilities.npy`` +
 preview PNGs for downstream validation stages.
 

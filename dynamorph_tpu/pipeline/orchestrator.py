@@ -77,15 +77,30 @@ def run_pipeline(raw_dir: str, supp_dir: str, sites: Sequence[str], config,
                  jax.process_index(), jax.process_count(), my_wells,
                  len(sites))
 
+    stage_error: Optional[BaseException] = None
+
     def run(stage: str, fn, skip_if=None):
-        if stage not in stages:
+        nonlocal stage_error
+        if stage not in stages or stage_error is not None:
             return
         if resume and skip_if is not None and skip_if():
             log.info("[pipeline] %s: outputs exist, skipping", stage)
             return
         log.info("[pipeline] running %s", stage)
-        with stage_timer(stage):
-            fn()
+        try:
+            with stage_timer(stage):
+                fn()
+        except Exception as e:
+            if not multiproc:
+                raise
+            # multi-host: a raise here would skip the PCA barriers and hang
+            # every other process until the coordination timeout — record,
+            # skip the remaining stages, walk the barriers, THEN re-raise
+            stage_error = e
+            log.error("[pipeline] %s failed on process %d: %s — deferring "
+                      "re-raise until after the cross-process barriers",
+                      stage, jax.process_index(), e)
+            return
         executed.append(stage)
 
     wells = group_sites_by_well(sites)
@@ -159,15 +174,24 @@ def run_pipeline(raw_dir: str, supp_dir: str, sites: Sequence[str], config,
 
         dr = config.dim_reduction
         if dr.input_dirs:
+            any_failed = stage_error is not None
             if multiproc:
                 # the PCA fit pools latents across ALL wells (reference
                 # run_dim_reduction.py:276-287): wait for every process's
                 # per-well outputs on the shared filesystem, then fit once.
+                # The allgather doubles as the barrier AND lets every
+                # process agree whether any peer's stages failed — fitting
+                # on a silently incomplete latent pool would be worse than
+                # skipping.
+                import numpy as np
                 from jax.experimental import multihost_utils
 
                 multihost_utils.sync_global_devices("dynamorph:pre-pca")
+                flags = multihost_utils.process_allgather(
+                    np.array([stage_error is not None]))
+                any_failed = bool(np.asarray(flags).any())
             try:
-                if not multiproc or is_main_process():
+                if not any_failed and (not multiproc or is_main_process()):
                     with stage_timer("pca"):
                         dim_reduction("pca", dr.input_dirs,
                                       dr.output_dirs or dr.input_dirs,
@@ -180,4 +204,6 @@ def run_pipeline(raw_dir: str, supp_dir: str, sites: Sequence[str], config,
                     # barrier until the coordination timeout; the exception
                     # still propagates after the sync
                     multihost_utils.sync_global_devices("dynamorph:post-pca")
+    if stage_error is not None:
+        raise stage_error
     return executed

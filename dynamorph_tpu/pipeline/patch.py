@@ -32,34 +32,19 @@ def _round_up(n: int, m: int) -> int:
     return max(m, ((n + m - 1) // m) * m)
 
 
-def extract_frame_site_data(raw_dev, labels_dev, bg_fill, kept_cells,
-                            site_supp_files_folder: str, t_point: int,
-                            window_size: int = 256, cell_bucket: int = 32,
-                            save_fig: bool = False) -> Dict[str, dict]:
-    """One frame's cells -> the ``stacks_<t>.pkl`` site-data dict.
-
-    Shared by the staged path (host-loaded frame + label map) and the fused
-    seg->patch path (device-resident frame + device-scattered label map):
-    runs the fused window/mask/fill program (ops/patch.py), fetches the
-    padded bucket once, and assembles the reference pickle layout
-    (extract_patches.py:228-278).
+def dispatch_cell_patches(raw_dev, labels_dev, bg_fill, kept_cells,
+                          window_size: int = 256, cell_bucket: int = 32):
+    """Device half of per-frame patch extraction, shared by the staged path
+    (host-loaded frame + label map) and the fused seg->patch path
+    (device-resident frame + device-scattered label map): enqueue the fused
+    window/mask/fill program (ops/patch.py) and return the padded device
+    buffers WITHOUT fetching, so callers can drain the download on a writer
+    thread while the next frame runs. ``assemble_site_data`` is the host
+    half.
 
     ``raw_dev``: (C, H, W) f32 (device or host); ``labels_dev``: (H, W)
     int32; ``bg_fill``: (C,) medians; ``kept_cells``: [(cell_id, center)].
     """
-    out = dispatch_cell_patches(raw_dev, labels_dev, bg_fill, kept_cells,
-                                window_size=window_size,
-                                cell_bucket=cell_bucket)
-    return assemble_site_data(out, kept_cells, site_supp_files_folder,
-                              t_point, save_fig=save_fig)
-
-
-def dispatch_cell_patches(raw_dev, labels_dev, bg_fill, kept_cells,
-                          window_size: int = 256, cell_bucket: int = 32):
-    """Device half of ``extract_frame_site_data``: enqueue the fused
-    window/mask/fill program and return the padded device buffers WITHOUT
-    fetching, so callers can drain the download on a writer thread while
-    the next frame runs (pipeline/fused.py)."""
     import jax.numpy as jnp
 
     n = len(kept_cells)
@@ -80,10 +65,10 @@ def dispatch_cell_patches(raw_dev, labels_dev, bg_fill, kept_cells,
 def assemble_site_data(out, kept_cells, site_supp_files_folder: str,
                        t_point: int, save_fig: bool = False
                        ) -> Dict[str, dict]:
-    """Host half of ``extract_frame_site_data``: fetch the padded bucket
-    and assemble the reference ``stacks_<t>.pkl`` layout. Thread-safe
-    (no device dispatch; pure fetch + numpy), so it can run on an
-    io.prefetch.AsyncWriter thread."""
+    """Host half of per-frame patch extraction: fetch the padded bucket
+    and assemble the reference ``stacks_<t>.pkl`` layout
+    (extract_patches.py:228-278). Thread-safe (no device dispatch; pure
+    fetch + numpy), so it can run on an io.prefetch.AsyncWriter thread."""
     site_data: Dict[str, dict] = {}
     n = len(kept_cells)
     if out is None or n == 0:

@@ -131,17 +131,22 @@ def run_preprocess(input_dir: str, output_dir: str, config,
                    sites=None) -> List[str]:
     """Full preprocess stage for one experiment directory.
 
-    ``sites``: optional subset of site names to process (multi-host CLIs
-    pass this process's slice — cli/run_preproc.py; the library default
-    processes everything discovered, so programmatic callers always get
-    complete output).
+    ``sites``: optional subset to process — either a list of site names or
+    an already-discovered ``{name: files}`` mapping (multi-host CLIs pass
+    this process's slice of their own discovery — cli/run_preproc.py; the
+    library default discovers and processes everything, so programmatic
+    callers always get complete output).
     """
     pp = config.preprocess
-    discovered = discover_sites(input_dir, pp.fov, pp.pos_dir)
-    names = sorted(discovered, key=str)
-    if sites is not None:
-        wanted = set(sites)
-        names = [s for s in names if s in wanted]
+    if isinstance(sites, dict):
+        discovered = sites
+        names = sorted(discovered, key=str)
+    else:
+        discovered = discover_sites(input_dir, pp.fov, pp.pos_dir)
+        names = sorted(discovered, key=str)
+        if sites is not None:
+            wanted = set(sites)
+            names = [s for s in names if s in wanted]
     outputs = []
     for site in names:
         outputs.append(write_raw_to_npy(

@@ -146,7 +146,8 @@ class Segment:
         # keras reference does each fit pass, models.py:98-156); resident,
         # only a per-batch int32 index vector travels and batches gather on
         # device. Numerics identical (gather is exact, same draw order).
-        resident = (X.nbytes + y.nbytes) <= _DEVICE_RESIDENT_BUDGET
+        vbytes = 0 if valid is None else valid[0].nbytes + valid[1].nbytes
+        resident = (X.nbytes + y.nbytes + vbytes) <= _DEVICE_RESIDENT_BUDGET
         if resident:
             X_src, y_src = jax.device_put(X), jax.device_put(y)
             # one program per batch shape (full + remainder), NOT per
@@ -210,6 +211,9 @@ class Segment:
                                 if k != "epoch"))
         finally:
             saver.close()
+            # the cached ground-truth mask pins the (possibly
+            # device-resident) validation arrays — release with the fit
+            self._val_true_cache = None
         return history
 
     def _val_batch_fn(self):
