@@ -310,6 +310,89 @@ def test_two_process_pipeline_fanout(tmp_path):
     assert os.path.exists(os.path.join(root, "pca_w", "pca_model.pkl"))
 
 
+FAIL_PIPELINE_WORKER = """
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import json
+from dynamorph_tpu.core.mesh import init_multihost
+
+pid, nproc, port, root = (int(sys.argv[1]), int(sys.argv[2]),
+                          int(sys.argv[3]), sys.argv[4])
+init_multihost(f"127.0.0.1:{{port}}", nproc, pid)
+
+if pid == 1:
+    # sabotage an early stage on THIS process only
+    from dynamorph_tpu.pipeline import orchestrator
+
+    def _boom(*a, **k):
+        raise RuntimeError("injected stage failure")
+    orchestrator.instance_segmentation = _boom
+
+from tests.test_multihost import run_pipeline_worker
+
+executed = run_pipeline_worker(root)
+print("EXECUTED:" + json.dumps(executed), flush=True)
+"""
+
+
+def test_two_process_pipeline_stage_failure_fails_fast(tmp_path):
+    """A stage exception on one host must NOT strand the other host in the
+    PCA barriers (orchestrator defers the re-raise until after them): the
+    failing process exits nonzero with the injected error, the healthy one
+    exits zero having skipped the pooled PCA fit, and neither hangs."""
+    root = str(tmp_path)
+    build_pipeline_experiment(root)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if not f.startswith("--xla_force_host_platform_device_count")]
+    env["XLA_FLAGS"] = " ".join(
+        flags + ["--xla_force_host_platform_device_count=4"])
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", FAIL_PIPELINE_WORKER.format(repo=REPO),
+             str(pid), "2", str(port), root],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+        for pid in range(2)
+    ]
+    results = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=560)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise AssertionError(
+                "multi-host pipeline hung after an injected stage failure")
+        results.append((p.returncode, out, err))
+
+    rc0, out0, err0 = results[0]
+    rc1, out1, err1 = results[1]
+    # the sabotaged process walks the barriers, then re-raises the deferred
+    # stage error (not a barrier timeout: the orchestrator kept the barrier
+    # sequence symmetric)
+    assert rc1 != 0
+    assert "injected stage failure" in err1
+    # the healthy process TERMINATES rather than hanging: once the failing
+    # process exits, the coordination service propagates the failure into
+    # the peer's runtime (fleet-wide fail-fast). Depending on timing it
+    # either finishes its well and skips the pooled fit, or is killed
+    # mid-stage by the propagated error — both are termination, never a
+    # barrier deadlock.
+    lines = [l for l in out0.splitlines() if l.startswith("EXECUTED:")]
+    if lines:
+        executed0 = json.loads(lines[0][len("EXECUTED:"):])
+        assert "pca" not in executed0
+    else:
+        assert rc0 != 0  # killed by the propagated peer failure
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
