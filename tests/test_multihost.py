@@ -144,7 +144,7 @@ def run_train(problem, mesh, outdir):
 
 
 def build_pipeline_experiment(root: str, wells=("C4", "C5"), n_frames=12,
-                              size=256, n_cells=3, r=14):
+                              size=192, n_cells=3, r=14):
     """Two-well synthetic experiment (raw npy + NNProbabilities + tiny
     VQ-VAE weights) on a shared filesystem, one site per well."""
     import jax
