@@ -213,11 +213,15 @@ def bench_e2e_encode(n_wells: int = 3, patches_per_well: int = 512):
         le.save_output = False
 
         def run_all():
+            from dynamorph_tpu.io.prefetch import AsyncWriter
+
             feed = Prefetcher(list(wells.items()),
                               lambda kv: load_well_inputs(base, kv[0]))
             t0 = time.perf_counter()
-            for (well, ws), preloaded in feed:
-                process_vae(base, None, ws, config, preloaded=preloaded)
+            with AsyncWriter(depth=2) as writer:
+                for (well, ws), preloaded in feed:
+                    process_vae(base, None, ws, config, preloaded=preloaded,
+                                writer=writer)
             return time.perf_counter() - t0
 
         run_all()          # warm: compile + page cache

@@ -33,16 +33,19 @@ def run_for_dirs(method: str, raw_dir: str, supp_dir: str, config) -> None:
             assemble_vae(raw_dir, supp_dir, well_sites, config,
                          patch_type="mat")
     elif method == "process":
-        # prefetch the next well's pickles while this one encodes
-        from ..io.prefetch import Prefetcher
+        # prefetch the next well's pickles while this one encodes, and
+        # drain this well's latent pickle saves on a writer thread while
+        # the next well encodes
+        from ..io.prefetch import AsyncWriter, Prefetcher
         from ..pipeline.patch_vae import load_well_inputs
 
         prefetched = Prefetcher(
             wells.items(),
             lambda kv: load_well_inputs(raw_dir, kv[0]))
-        for (well, well_sites), preloaded in prefetched:
-            process_vae(raw_dir, supp_dir, well_sites, config,
-                        preloaded=preloaded)
+        with AsyncWriter(depth=2) as writer:
+            for (well, well_sites), preloaded in prefetched:
+                process_vae(raw_dir, supp_dir, well_sites, config,
+                            preloaded=preloaded, writer=writer)
     elif method == "trajectory_matching":
         for well_sites in wells.values():
             trajectory_matching(raw_dir, supp_dir, well_sites, config)

@@ -161,9 +161,22 @@ def run_pipeline(raw_dir: str, supp_dir: str, sites: Sequence[str], config,
         skip_if=lambda: all(_well_outputs_exist(
             raw_dir, w, ["_static_patches.pkl", "_file_paths.pkl"])
             for w in wells))
-    run("process",
-        lambda: [process_vae(raw_dir, supp_dir, ws, config)
-                 for ws in wells.values()])
+    def _process_all():
+        # prefetch the next well's pickles while this one encodes; drain
+        # latent pickle saves on a writer thread (same overlap as the
+        # run_vae CLI)
+        from ..io.prefetch import AsyncWriter, Prefetcher
+        from .patch_vae import load_well_inputs
+
+        prefetched = Prefetcher(
+            list(wells.items()),
+            lambda kv: load_well_inputs(raw_dir, kv[0]))
+        with AsyncWriter(depth=2) as writer:
+            for (w, ws), preloaded in prefetched:
+                process_vae(raw_dir, supp_dir, ws, config,
+                            preloaded=preloaded, writer=writer)
+
+    run("process", _process_all)
     run("trajectory_matching",
         lambda: [trajectory_matching(raw_dir, supp_dir, ws, config)
                  for ws in wells.values()],

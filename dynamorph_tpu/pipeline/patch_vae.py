@@ -211,7 +211,7 @@ def load_well_inputs(raw_folder: str, well: str):
 
 def process_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
                 config, batch_size: int = 512,
-                preloaded=None) -> Dict[str, str]:
+                preloaded=None, writer=None) -> Dict[str, str]:
     """Encode a well's static patches to latent vectors
     (reference pipeline/patch_VAE.py:343-508), batched on TPU.
 
@@ -222,6 +222,11 @@ def process_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
     ``preloaded``: optional (fs, dataset) from ``load_well_inputs`` — lets a
     caller prefetch the next well's pickles while this one encodes
     (io/prefetch.Prefetcher).
+
+    ``writer``: optional io.prefetch.AsyncWriter — latent pickle saves
+    (and recon JPEGs) submit to it instead of blocking, so a multi-well
+    caller overlaps well k's serialization with well k+1's encode; the
+    caller owns close() (which re-raises any failed write).
     """
     le = config.latent_encoding
     weights_dir = le.weights
@@ -260,11 +265,15 @@ def process_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
         with stage_timer("process_vae_encode", well=well, n=len(dataset)):
             z_b, z_a = encode_patches(model, params, state, dataset,
                                       batch_size, normalize="patch")
-        save_pickle(z_b, os.path.join(output_dir, f"{well}_latent_space.pkl"))
-        save_pickle(z_a, os.path.join(output_dir,
-                                      f"{well}_latent_space_after.pkl"))
+        put = writer.submit if writer is not None \
+            else (lambda fn, *a: fn(*a))
+        put(save_pickle, z_b,
+            os.path.join(output_dir, f"{well}_latent_space.pkl"))
+        put(save_pickle, z_a,
+            os.path.join(output_dir, f"{well}_latent_space_after.pkl"))
         if le.save_output:
-            _save_recon_images(model, params, state, dataset, output_dir)
+            put(_save_recon_images, model, params, state, dataset,
+                output_dir)
     elif "ResNet" in le.network:
         import jax
 
@@ -279,19 +288,23 @@ def process_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
         mesh = local_mesh()
         h_s = model.encode_batched(params, state, dataset, out="z",
                                    batch_size=batch_size, mesh=mesh)
-        save_pickle(h_s, os.path.join(output_dir, f"{well}_latent_space.pkl"))
+        put = writer.submit if writer is not None \
+            else (lambda fn, *a: fn(*a))
+        put(save_pickle, h_s,
+            os.path.join(output_dir, f"{well}_latent_space.pkl"))
     else:
         raise ValueError(f"Network {le.network} is not available")
     return {"output_dir": output_dir}
 
 
 def _save_recon_images(model, params, state, dataset, output_dir, n: int = 20):
-    """20 random reconstruction JPEGs (reference patch_VAE.py:464-489)."""
-    import jax.numpy as jnp
-    import matplotlib
+    """20 random reconstruction JPEGs (reference patch_VAE.py:464-489).
 
-    matplotlib.use("AGG")
-    import matplotlib.pyplot as plt
+    Object-oriented matplotlib (no pyplot globals) so it can run on an
+    io.prefetch.AsyncWriter thread while the next well encodes."""
+    import jax.numpy as jnp
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
 
     from ..io.images import im_adjust
 
@@ -307,16 +320,15 @@ def _save_recon_images(model, params, state, dataset, output_dir, n: int = 20):
         ims = [im_adjust(sample[0, 0]), im_adjust(output[0, 0]),
                im_adjust(sample[0, 1]), im_adjust(output[0, 1])]
         names = ["phase", "phase_recon", "im_retard", "retard_recon"]
-        fig, ax = plt.subplots(2, 2, squeeze=False)
-        ax = ax.flatten()
-        fig.set_size_inches((15, 10))
-        for a, im, name in zip(ax, ims, names):
+        fig = Figure(figsize=(15, 10))
+        FigureCanvasAgg(fig)
+        for k, (im, name) in enumerate(zip(ims, names)):
+            a = fig.add_subplot(2, 2, k + 1)
             a.imshow(np.squeeze(im), cmap="gray")
             a.axis("off")
             a.set_title(name, fontsize=12)
         fig.savefig(os.path.join(output_dir, "recon_%d.jpg" % i),
                     dpi=300, bbox_inches="tight")
-        plt.close(fig)
 
 
 def combine_dataset(input_dataset_names: Sequence[str],
