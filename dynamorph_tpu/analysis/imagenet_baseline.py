@@ -123,7 +123,9 @@ def extract_features(patches, model, params, state, cs: Sequence[int] = (0, 1),
             with h5py.File(p, "r") as f:
                 p = np.transpose(np.asarray(f["masked_mat"]), (2, 0, 1))
         xs.append(preprocess(p, cs=cs, channel_max=channel_max, size=size))
-    x = np.concatenate(xs, 0)  # (N * len(cs), 3, size, size)
+    x = np.concatenate(xs, 0)  # (N * n_channels, 3, size, size)
     feats = model.encode_batched(params, state, x, out="h",
                                  batch_size=batch_size)
-    return feats.reshape(len(xs), len(tuple(cs)), -1)
+    # derive per-patch channel count from the data so cs=None (all
+    # channels, as preprocess supports) works too
+    return feats.reshape(len(xs), x.shape[0] // len(xs), -1)

@@ -61,6 +61,11 @@ def get_size(mask: np.ndarray) -> Tuple[float, float]:
 def get_intensity_profile(dat, mask=None) -> List[Tuple[float, ...]]:
     """Per-channel (peak, 95th percentile, mean of top 200, sum) intensities
     within the mask (reference cv2_feature.py:78-112)."""
+    if mask is None:
+        # whole-patch profile; the reference's mask=None default crashes
+        # on None arithmetic (cv2_feature.py:104-106) — an all-ones mask
+        # is the working meaning of "no mask"
+        mask = np.ones(np.asarray(dat[0]).shape, bool)
     output = []
     for channel_slice in dat:
         channel_slice = channel_slice / CHANNEL_MAX

@@ -206,12 +206,9 @@ def plot_trajectory_on_frame(frame: np.ndarray, positions: np.ndarray,
 # Embedding figures
 # ---------------------------------------------------------------------------
 
-def zoom_axis(x, y, ax, zoom_cutoff: float = 1.0) -> None:
-    """Percentile-based axis limits (reference plotting_cm.py:9-13)."""
-    ax.set_xlim(np.percentile(x, zoom_cutoff),
-                np.percentile(x, 100 - zoom_cutoff))
-    ax.set_ylim(np.percentile(y, zoom_cutoff),
-                np.percentile(y, 100 - zoom_cutoff))
+# one implementation for both figure families (reference defines it twice,
+# plotting_cm.py:9-13 and run_dim_reduction.py:129-141, identically)
+from ..reduce.pca import zoom_axis  # noqa: E402  (re-export)
 
 
 def plot_embedding_scatter(embedding: np.ndarray, path: str,

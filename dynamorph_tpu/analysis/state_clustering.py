@@ -80,8 +80,11 @@ def trajectory_summaries(traj_inds: Sequence[Sequence[int]],
                  for t in t_keys if (t + t_lag) in pos]
         mean_dist = float(np.mean(dists)) if dists else 0.0
         speeds.append(mean_dist)
+        # mean_dist spans t_lag frames, so um/h needs t_lag*hours_per_frame
+        # in the denominator (the reference notebook only ever uses
+        # t_lag=1, where this reduces to its log(d*0.325/0.1518))
         log_speed = np.log(max(mean_dist, 1e-9) * um_per_pixel /
-                           hours_per_frame)
+                           (t_lag * hours_per_frame))
         rows.append(np.concatenate([[log_speed],
                                     np.mean(pcs[np.asarray(inds)], axis=0)]))
     return np.stack(rows), np.asarray(speeds)
@@ -207,7 +210,9 @@ def movement_state_clustering(trajectories_positions: Sequence[Dict],
     for c in range(n_clusters):
         mags.append(float(np.mean(windows[win_labels == c])))
     order = np.argsort(mags)
-    names = ["stagnant", "minor_moving", "moving"][:n_clusters]
+    base = ["stagnant", "minor_moving", "moving"]
+    names = base[:n_clusters] if n_clusters <= len(base) else \
+        base + [f"moving_{i + 2}" for i in range(n_clusters - len(base))]
     cluster_name = {int(order[i]): names[i] for i in range(n_clusters)}
 
     # assign each trajectory the majority state of its windows

@@ -35,7 +35,8 @@ def msd_curve(trajectories_positions: Sequence[Dict],
     """(lag, mean squared displacement) points."""
     msd = generate_msd_distri(trajectories_positions, max_lag)
     ks = sorted(k for k in msd if msd[k])
-    return np.array([(k, np.mean(msd[k])) for k in ks])
+    # (0, 2)-shaped when no lag has samples, so callers can index columns
+    return np.array([(k, np.mean(msd[k])) for k in ks]).reshape(-1, 2)
 
 
 def fit_msd_powerlaw(points: np.ndarray, first_n_points: int = 5,

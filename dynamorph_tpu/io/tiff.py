@@ -43,11 +43,6 @@ def write_multipage_tiff(path: str, stack: np.ndarray) -> None:
             data_offset = f.tell()
             f.write(data)
 
-            extra = b""
-            extra_offset = f.tell()  # provisional; fixed below
-            n_entries = 10
-            ifd_offset = None
-
             # BitsPerSample: inline for 1 sample, offset array for 3
             if c == 3:
                 bps_array = struct.pack("<3H", bits, bits, bits)

@@ -10,6 +10,7 @@ is unavailable in the environment.
 """
 from __future__ import annotations
 
+import logging
 import os
 from typing import Sequence
 
@@ -17,6 +18,8 @@ import numpy as np
 
 from ..io.pickles import save_pickle
 from .pca import zoom_axis
+
+log = logging.getLogger(__name__)
 
 
 def _require_umap():
@@ -42,11 +45,18 @@ def fit_umap(train_data: np.ndarray, weights_dir: str, labels,
 
     umap = _require_umap()
     os.makedirs(weights_dir, exist_ok=True)
-    n_plots = len(n_nbrs) * len(a_s) * len(b_s)
+    # the loop iterates zip(a_s, b_s), so the panel count must too (the
+    # reference sizes by the a x b product AND floors the row count,
+    # run_dim_reduction.py:167-170 — it crashes or draws blank panels on
+    # any non-default grid; sizing by what is actually drawn is identical
+    # on the reference's default 3x1 grid)
+    n_plots = len(n_nbrs) * len(list(zip(a_s, b_s)))
     n_cols = 3
     n_rows = max(int(np.ceil(n_plots / n_cols)), 1)
     fig, ax = plt.subplots(n_rows, n_cols, squeeze=False)
     ax = ax.flatten()
+    for unused in ax[n_plots:]:
+        unused.axis("off")
     fig.set_size_inches((6.5 * n_cols, 5 * n_rows))
     axis_count = 0
     for n_nbr in n_nbrs:
@@ -61,9 +71,11 @@ def fit_umap(train_data: np.ndarray, weights_dir: str, labels,
             scatter.set_facecolor("none")
             ax[axis_count].set_title(f"n_neighbors={n_nbr}", fontsize=12)
             zoom_axis(embedding[:, 0], embedding[:, 1], ax[axis_count])
-            if axis_count == len(ax) - 1:
-                # condition legend on the last panel only
-                # (reference run_dim_reduction.py:194-199)
+            if axis_count == n_plots - 1:
+                # condition legend on the last DRAWN panel only
+                # (reference run_dim_reduction.py:194-199 gates on the
+                # grid's last axis, which its own ceil-free sizing made
+                # the same thing on the default grid)
                 ax[axis_count].legend(
                     handles=scatter.legend_elements()[0],
                     title="condition", labels=list(conditions),
@@ -88,6 +100,12 @@ def umap_transform(input_dir: str, output_dir: str, weights_dir: str,
     for fname in model_fnames:
         model_name = os.path.splitext(fname)[0]
         model = load_pickle(os.path.join(weights_dir, fname))
+        if not hasattr(model, "transform"):
+            # fit_umap saves [embedding, labels] pickles under the same
+            # umap* prefix (fit-only contract); skip those rather than
+            # crashing on list.transform
+            log.warning("skipping %s: not a fitted UMAP model", fname)
+            continue
         dats = load_pickle(os.path.join(
             input_dir, f"{prefix}_latent_space{suffix}.pkl"))
         dats_ = model.transform(dats)

@@ -54,6 +54,17 @@ def test_plot_msd(tmp_path, rng):
     assert len(points) > 5
 
 
+def test_plot_msd_empty_trajectories(tmp_path):
+    """No displacement samples -> empty (0, 2) curve and a valid figure,
+    not an IndexError."""
+    from dynamorph_tpu.analysis.trajectory_dynamics import msd_curve, plot_msd
+
+    assert msd_curve([]).shape == (0, 2)
+    pts = plot_msd([{0: (1.0, 2.0)}], str(tmp_path / "msd.png"))
+    assert pts.shape == (0, 2)
+    assert (tmp_path / "msd.png").exists()
+
+
 def test_stage_timer_writes_jsonl(tmp_path):
     log_path = str(tmp_path / "timing.jsonl")
     with stage_timer("unit_test_stage", log_path=log_path, site="s1"):

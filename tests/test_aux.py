@@ -38,6 +38,11 @@ def test_morphology_features(rng):
     assert max(rw, rh) >= 19  # long axis aligned after rotation
 
     dat = [rng.rand(64, 64) * 65535 for _ in range(2)]
+    # mask=None means whole-patch profile (the reference's None default is
+    # a latent crash, cv2_feature.py:104); equal to an all-ones mask
+    prof_none = get_intensity_profile(dat)
+    prof_ones = get_intensity_profile(dat, np.ones(dat[0].shape, bool))
+    assert repr(prof_none) == repr(prof_ones)
     profile = get_intensity_profile(dat, mask)
     assert len(profile) == 2 and len(profile[0]) == 4
     peak, q95, top200, total = profile[0]

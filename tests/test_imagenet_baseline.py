@@ -118,6 +118,21 @@ def test_extract_features_from_h5(rng, tmp_path, torch_r50_and_sd):
     assert np.isfinite(feats).all()
 
 
+def test_extract_features_cs_none(rng):
+    """cs=None (all channels, as preprocess supports) must reshape by the
+    data's channel count instead of crashing on tuple(None)."""
+    from dynamorph_tpu.analysis import imagenet_baseline as ib
+
+    class FakeModel:
+        def encode_batched(self, params, state, x, out, batch_size):
+            return np.ones((len(x), 7), np.float32)
+
+    patches = rng.rand(3, 2, 16, 16).astype(np.float32)
+    feats = ib.extract_features(patches, FakeModel(), None, None,
+                                cs=None, size=16)
+    assert feats.shape == (3, 2, 7)
+
+
 def test_read_file_path(tmp_path):
     (tmp_path / "a").mkdir()
     (tmp_path / "a" / "x.h5").write_bytes(b"0")

@@ -30,6 +30,31 @@ def test_kmeans_on_short_trajs_separates_states(rng):
     assert feats_d.shape[1] == 2 * 4  # (length-1) * D
 
 
+def test_movement_state_clustering_extra_clusters(rng):
+    """n_clusters > 3 gets synthesized state names instead of an
+    IndexError after the k-means has run."""
+    def walk(scale, n=20):
+        pos = np.cumsum(rng.randn(n, 2) * scale, axis=0)
+        return {t: pos[t] for t in range(n)}
+
+    trajs = [walk(s) for s in (0.01, 0.5, 2.0, 40.0) for _ in range(4)]
+    states = movement_state_clustering(trajs, length=5, n_clusters=4)
+    assert set(states) == {"stagnant", "minor_moving", "moving", "moving_2"}
+    assert sum(len(v) for v in states.values()) == 16
+
+
+def test_trajectory_summary_speed_scales_with_t_lag():
+    """log-speed stays in um/h for t_lag > 1: a constant-velocity walk must
+    report the same speed at any lag (displacement spans t_lag frames)."""
+    from dynamorph_tpu.analysis.state_clustering import trajectory_summaries
+
+    pos = {t: np.array([3.0 * t, 0.0]) for t in range(12)}
+    pcs = np.zeros((12, 2))
+    X1, _ = trajectory_summaries([list(range(12))], [pos], pcs, t_lag=1)
+    X3, _ = trajectory_summaries([list(range(12))], [pos], pcs, t_lag=3)
+    np.testing.assert_allclose(X1[0, 0], X3[0, 0], rtol=1e-9)
+
+
 def test_movement_state_clustering(rng):
     def walk(scale, n=20):
         pos = np.cumsum(rng.randn(n, 2) * scale, axis=0)

@@ -80,6 +80,63 @@ def test_fit_umap_custom_grid(tmp_path, monkeypatch):
     assert (tmp_path / "umap_nbr5_a2.0_b0.25.pkl").exists()
 
 
+def test_fit_umap_legend_on_last_drawn_panel(tmp_path, monkeypatch):
+    """With a grid that doesn't fill the 3-wide row, the condition legend
+    lands on the last DRAWN panel (the reference gates on the grid's last
+    axis and would draw no legend here, run_dim_reduction.py:194)."""
+    legend_calls = []
+
+    class FakeUMAP:
+        def __init__(self, a=None, b=None, n_neighbors=15):
+            pass
+
+        def fit_transform(self, x):
+            return np.random.RandomState(0).rand(len(x), 2)
+
+    fake = types.ModuleType("umap")
+    fake.UMAP = FakeUMAP
+    monkeypatch.setitem(sys.modules, "umap", fake)
+
+    import matplotlib.axes
+
+    real_legend = matplotlib.axes.Axes.legend
+
+    def spy_legend(self, *a, **k):
+        legend_calls.append(self)
+        return real_legend(self, *a, **k)
+
+    monkeypatch.setattr(matplotlib.axes.Axes, "legend", spy_legend)
+
+    from dynamorph_tpu.reduce.umap_wrap import fit_umap
+
+    fit_umap(np.random.RandomState(1).rand(12, 4), str(tmp_path),
+             np.arange(12) % 2, ["mock", "inf"],
+             n_nbrs=(5, 7), a_s=(1.0,), b_s=(0.5,))   # 2 panels, 3-wide row
+    assert len(legend_calls) == 1
+    assert (tmp_path / "UMAP.png").exists()
+
+
+def test_umap_transform_skips_embedding_pickles(tmp_path):
+    """fit_umap's [embedding, labels] pickles share the umap* namespace;
+    umap_transform must skip them instead of crashing on list.transform."""
+    from dynamorph_tpu.io.pickles import load_pickle, save_pickle
+    from dynamorph_tpu.reduce.umap_wrap import umap_transform
+
+    wdir, idir, odir = tmp_path / "w", tmp_path / "i", tmp_path / "o"
+    wdir.mkdir()
+    idir.mkdir()
+    save_pickle([np.zeros((5, 2)), np.zeros(5)],
+                str(wdir / "umap_nbr15_a1.58_b0.9.pkl"))   # embedding pickle
+    save_pickle(_FakeModel(2.0), str(wdir / "umap_nbr50_a1.58_b0.9.pkl"))
+    save_pickle(np.ones((5, 4)), str(idir / "C5_latent_space_after.pkl"))
+
+    umap_transform(str(idir), str(odir), str(wdir), "C5")
+
+    assert (odir / "C5_latent_space_after_umap_nbr50_a1.58_b0.9.pkl").exists()
+    assert not (odir /
+                "C5_latent_space_after_umap_nbr15_a1.58_b0.9.pkl").exists()
+
+
 def test_umap_transform_filename_contract(tmp_path):
     """umap_transform applies every umap*.pkl model in weights_dir to
     <prefix>_latent_space<suffix>.pkl and writes
