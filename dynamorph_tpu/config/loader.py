@@ -26,14 +26,32 @@ _ALIASES = {
 }
 
 
+_SIMPLE_TYPES = (int, float, bool, str)
+
+
 def _parse_section(name: str, raw: Dict[str, Any]):
+    import typing
+
     cls = SECTION_TYPES[name]
     fields = {f.name for f in dataclasses.fields(cls)}
+    hints = typing.get_type_hints(cls)
     aliases = _ALIASES.get(name, {})
     kwargs = {}
     for key, value in raw.items():
         key = aliases.get(key, key)
         if key in fields:
+            # light scalar type check (warn, don't raise — same permissive
+            # philosophy as the unknown-key warnings): catches e.g. a
+            # quoted "256" where an int is declared at load time instead
+            # of deep inside a jitted shape assert
+            t = hints.get(key)
+            if t in _SIMPLE_TYPES and value is not None \
+                    and not isinstance(value, t) \
+                    and not (t is float and isinstance(value, int)):
+                log.warning(
+                    "yaml %s config field %s: expected %s, got %s (%r)",
+                    name.upper(), key, t.__name__,
+                    type(value).__name__, value)
             kwargs[key] = value
         else:
             log.warning("yaml %s config field %s is not recognized",

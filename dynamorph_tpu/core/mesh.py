@@ -37,6 +37,14 @@ def init_multihost(coordinator_address: str | None = None,
     reference run_segmentation.py:74-84); this replaces it with real
     cross-host data-parallel training.
     """
+    explicit = (coordinator_address, num_processes, process_id)
+    if any(v is not None for v in explicit) and \
+            any(v is None for v in explicit):
+        raise ValueError(
+            "init_multihost: pass coordinator_address, num_processes and "
+            "process_id together (explicit topology), or none of them "
+            "(TPU-pod auto-detection) — a partial set would be silently "
+            "ignored by auto-detection")
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(coordinator_address=coordinator_address,

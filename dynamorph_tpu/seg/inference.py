@@ -189,7 +189,14 @@ def predict_whole_map(file_path, model, use_channels: Sequence[int] = (),
 
         def tile_at(x0, y0):
             patch = inp[..., x0:x0 + x_size, y0:y0 + y_size]
-            return patch[0] if time_slices == 1 else patch
+            if time_slices == 1:
+                return patch[0]
+            # (T, C, 1, x, y) -> (C, T, x, y): SegmentWithMultipleSlice's
+            # input_shape is (c, z, x, y) with the time slices on z. A
+            # blind reshape would interleave time into channels for C > 1
+            # (the reference's own time_slices>1 tile path is dead code —
+            # it feeds 5-D tiles into preprocess's 4-D unpack, data.py:283)
+            return patch[:, :, 0].transpose(1, 0, 2, 3)
 
         # Base tiling pass
         tiles = np.stack([tile_at(r * x_size, c * y_size)

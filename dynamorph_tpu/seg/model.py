@@ -56,10 +56,6 @@ class Segment:
         if encoder_weights is not None:
             self._load_encoder_weights(encoder_weights)
         self._predict_fn = jax.jit(self._predict_impl)
-        # jitted once here: a fresh jax.jit(lambda ...) per call would
-        # retrace/recompile every invocation (jit caches on fn identity)
-        self._logits_fn = jax.jit(
-            lambda p, s, x: self._apply_logits(p, s, x, False))
         self._lr = 1e-3  # keras Adam default
 
     def _load_encoder_weights(self, encoder_weights) -> None:
@@ -91,7 +87,11 @@ class Segment:
 
     # ------------------------------------------------------------------
     def _make_step(self, lr):
-        optimizer = optax.adam(lr)
+        # inject_hyperparams makes the learning rate part of opt_state, so
+        # ReduceLROnPlateau can lower it WITHOUT re-initialising Adam's
+        # moments/step count (the Keras callback only scales lr,
+        # reference models.py:66) and without recompiling the step
+        optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
 
         def loss_fn(params, state, x, y):
             logits, new_state = self._apply_logits(params, state, x,
@@ -191,9 +191,12 @@ class Segment:
                         plateau += 1
                         if plateau >= 5 and self._lr * lr_scale > 1e-7:
                             lr_scale *= 0.1
-                            optimizer, step = self._make_step(
-                                max(self._lr * lr_scale, 1e-7))
-                            opt_state = optimizer.init(self.params)
+                            # lower lr in place: moments, step count and
+                            # the compiled step all survive (Keras
+                            # ReduceLROnPlateau semantics)
+                            opt_state.hyperparams["learning_rate"] = \
+                                jnp.asarray(max(self._lr * lr_scale, 1e-7),
+                                            jnp.float32)
                             plateau = 0
                     # per-epoch checkpoint on the writer thread: the device
                     # buffers are immutable snapshots (the next epoch binds
@@ -219,9 +222,10 @@ class Segment:
     def _val_batch_fn(self):
         """Jitted per-batch validation program, cached on the instance:
         weighted-CE SUM (so batches of unequal size combine into the exact
-        global mean) + class-0 softmax probabilities — only (B, H, W)
-        floats and a scalar leave the device, versus fetching full logits
-        and re-uploading them for the loss."""
+        global mean) + raw class-0 LOGITS — the reference's ValidMetrics
+        ranks/thresholds the linear-activation output, not a softmax
+        probability (layers.py:131-136, models.py:83). Only (B, H, W)
+        floats and a scalar leave the device."""
         fn = getattr(self, "_val_fn", None)
         if fn is None:
             def _val_batch(p, s, x, y):
@@ -230,7 +234,7 @@ class Segment:
                 lab = y[:, :-1]
                 logp = jax.nn.log_softmax(logits, axis=1)
                 ce = -jnp.sum(lab * logp, axis=1) * w
-                return jnp.sum(ce), jax.nn.softmax(logits, axis=1)[:, 0]
+                return jnp.sum(ce), logits[:, 0]
 
             fn = self._val_fn = jax.jit(_val_batch)
         return fn

@@ -205,6 +205,14 @@ def build_site_trajectories(cell_positions: Dict, cell_pixel_assignments: Dict,
             ids1 = sorted(cell_positions_dict[t_point].keys())
             ids2 = sorted(cell_positions_dict[t_point + 1].keys())
             if len(ids1) == 0 or len(ids2) == 0:
+                # CONSCIOUS deviation: an empty frame yields no matchings
+                # and tracking continues. The reference calls frame_matching
+                # unconditionally, which throws on empty inputs
+                # (np.percentile of an empty distance matrix,
+                # generate_trajectories.py:423) and degrades the WHOLE site
+                # to empty trajectories via the caller's except
+                # (:431-433) — losing every other frame's tracks to one
+                # blank frame.
                 cell_matchings[t_point] = []
                 continue
             f1 = [cell_positions_dict[t_point][i] for i in ids1]

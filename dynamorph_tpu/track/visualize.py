@@ -26,7 +26,7 @@ def save_traj_bbox(trajectory: Dict[int, int],
     """
     import cv2
 
-    full = image_stack.shape[1]
+    full_x, full_y = image_stack.shape[1], image_stack.shape[2]
     t_keys = sorted(trajectory.keys())
     frames = np.zeros((len(t_keys), 512, 512))
     for i, k in enumerate(t_keys):
@@ -34,7 +34,9 @@ def save_traj_bbox(trajectory: Dict[int, int],
     frames = np.stack([frames] * 3, 3) / 65535.0
 
     red = np.array([1.0, 0.0, 0.0]).reshape((1, 1, 3))
-    scale = full / 512
+    # per-axis scales so boxes land correctly on non-square frames
+    # (the reference hardcodes a square 2048, generate_trajectories.py:340)
+    scale = np.array([full_x / 512, full_y / 512])
     for i, k in enumerate(t_keys):
         c = np.asarray(trajectory_positions[k]) / scale
         br = [(max(c[0] - 16.0, 0), min(c[0] + 16.0, 512)),

@@ -145,6 +145,54 @@ def test_segment_fit_reduces_loss(tmp_path, rng):
     assert "val_roc_auc" in history[-1]
 
 
+def test_lr_plateau_keeps_adam_state_and_compile(tmp_path):
+    """ReduceLROnPlateau must only lower the learning rate (Keras
+    semantics, reference models.py:66): in-place hyperparam update, no
+    step recompile, Adam moments preserved."""
+    m = Segment(input_shape=(1, 32, 32), n_classes=3,
+                model_path=str(tmp_path))
+    opt, step = m._make_step(1e-3)
+    st = opt.init(m.params)
+    x = jnp.ones((4, 1, 32, 32))
+    y = jnp.ones((4, 4, 32, 32))
+    p, s, st, _ = step(m.params, m.state, st, x, y)
+    assert step._cache_size() == 1
+    mu = jax.tree_util.tree_leaves(st.inner_state)[0]
+    assert np.any(np.asarray(mu) != 0)
+    st.hyperparams["learning_rate"] = jnp.asarray(1e-4, jnp.float32)
+    p, s, st2, _ = step(p, s, st, x, y)
+    assert step._cache_size() == 1          # no retrace from the lr change
+    assert np.any(np.asarray(
+        jax.tree_util.tree_leaves(st2.inner_state)[0]) != 0)
+    assert abs(float(st2.hyperparams["learning_rate"]) - 1e-4) < 1e-9
+
+
+def test_predict_whole_map_multislice_multichannel(rng):
+    """time_slices>1 with n_channels>1: each tile must reach the model as
+    (C, T, x, y) — a blind reshape of the (T, C, ...) stack would
+    interleave time into channels (the reference's own time_slices>1 tile
+    path is dead code, data.py:283)."""
+    import jax.numpy as jnp
+
+    from dynamorph_tpu.core.constants import CHANNEL_MAX
+    from dynamorph_tpu.seg.inference import predict_whole_map
+    from dynamorph_tpu.seg.model import SegmentWithMultipleSlice
+
+    T, C, S = 4, 2, 3
+    model = SegmentWithMultipleSlice(input_shape=(C, S, 32, 32), n_classes=3)
+    inputs = (rng.rand(T, C, 1, 64, 64) * 60000).astype(np.float32)
+    out = predict_whole_map(inputs, model, use_channels=[0, 1],
+                            time_slices=S, n_supp=0)
+    assert out.shape == (T - S + 1, 3, 1, 64, 64)
+    # cross-check the first tile against a manually-ordered direct forward
+    tile = inputs[0:S, :, 0, :32, :32]                  # (S, C, 32, 32)
+    x = np.transpose(tile, (1, 0, 2, 3))[None] / CHANNEL_MAX
+    probs = np.asarray(model._predict_fn(
+        model.params, model.state, jnp.asarray(x, jnp.float32)))[0]
+    np.testing.assert_allclose(out[0][..., :32, :32], probs,
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_segment_fit_device_resident_matches_streaming(tmp_path, rng,
                                                        monkeypatch):
     """fit()'s device-resident dataset path (upload once, gather per batch)
