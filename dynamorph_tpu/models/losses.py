@@ -10,12 +10,19 @@ from __future__ import annotations
 import dataclasses
 
 import jax.numpy as jnp
+from jax import lax
 
 
 def pairwise_dist(embeddings: jnp.ndarray) -> jnp.ndarray:
     """Squared euclidean pairwise distances, clamped at 0
-    (reference losses.py:29-50)."""
+    (reference losses.py:29-50).
+
+    HIGHEST-precision matmul: the (B, 128) embedding product is tiny, and
+    bf16 operand rounding on the MXU would perturb margin/hinge decisions
+    vs the exact-f32 torch reference the miners are parity-tested against.
+    """
     dot = jnp.dot(embeddings, embeddings.T,
+                  precision=lax.Precision.HIGHEST,
                   preferred_element_type=jnp.float32)
     sq = jnp.diag(dot)
     d = sq[None, :] - 2.0 * dot + sq[:, None]

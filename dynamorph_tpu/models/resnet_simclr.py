@@ -191,9 +191,13 @@ class EncodeProject:
         """Triplet-loss forward (reference resnet.py:119-126)."""
         z, ns = self.encode_fn(params, state, inputs, out="z", train=train)
         loss, f_pos = self.miner(labels, z)
-        losses = {"total_loss": loss,
-                  "positive_triplet": f_pos if f_pos is not None
-                  else jnp.zeros(())}
+        losses = {"total_loss": loss}
+        if f_pos is not None:
+            # the hard-negative miner has no positive-fraction metric
+            # (reference losses.py:263 returns None; a constant-zero
+            # stand-in would silently disable early stopping on the
+            # default 'positive_triplet' monitor)
+            losses["positive_triplet"] = f_pos
         return z, losses, ns
 
     def encode_batched(self, params, state, dataset: np.ndarray,

@@ -332,16 +332,22 @@ class AAEModel:
         eps = 1e-9
         x = nchw_to_nhwc(inputs)
         k_prior, k_d1, k_d2 = jax.random.split(key, 3)
-        z_data, _ = _apply_z16_encoder(params["enc"], state["enc"], x, train)
+        # BN running stats evolve exactly as the reference's sequential
+        # torch forwards (vae.py:845-848): enc(inputs) updates enc stats,
+        # then enc_d sees z_data and z_prior in order, the second call
+        # starting from the first call's updated stats
+        z_data, enc_ns = _apply_z16_encoder(params["enc"], state["enc"], x,
+                                            train)
         z_prior = jax.random.normal(k_prior, z_data.shape, z_data.dtype)
         s_data, disc_ns = self._apply_disc(params["enc_d"], state["enc_d"],
                                            z_data, k_d1, train)
-        s_prior, _ = self._apply_disc(params["enc_d"], state["enc_d"],
-                                      z_prior, k_d2, train)
+        s_prior, disc_ns = self._apply_disc(params["enc_d"], disc_ns,
+                                            z_prior, k_d2, train)
         g_loss = -jnp.mean(jnp.log(s_data + eps))
         d_loss = -jnp.mean(jnp.log(s_prior + eps)
                            + jnp.log(1 - jax.lax.stop_gradient(s_data) + eps))
         new_state = dict(state)
+        new_state["enc"] = enc_ns
         new_state["enc_d"] = disc_ns
         return {
             "generator_loss": g_loss,

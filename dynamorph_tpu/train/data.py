@@ -99,6 +99,8 @@ def split_data_ids(n: int, val_split_ratio: float, shuffle: bool, rng):
     (reference run_training.py:487-497): val is a contiguous window of the
     (optionally shuffled) id range, train keeps order otherwise."""
     ids = list(range(n))
+    if val_split_ratio is None:        # train on everything, no val split
+        return ids, []
     split = int(np.floor(val_split_ratio * n))
     split_start = rng.randint(0, n - split)
     if shuffle:

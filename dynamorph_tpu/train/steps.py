@@ -20,29 +20,42 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def augment_batch(key, batch, mask=None):
-    """Random per-batch flip + k*90-degree rotation of NCHW patches.
+def _dihedral(x, flip_idx, rot_idx):
+    """flip in {0: none, 1: H, 2: W} then rot90 k times on one (C, H, W)
+    patch — the reference's exact per-image transform and draw space
+    (run_training.py:396-403: np.random.choice([0,1,2]) flip dim, then
+    choice([0,1,2,3]) rotations)."""
+    x = jax.lax.switch(flip_idx, [
+        lambda v: v,
+        lambda v: jnp.flip(v, axis=1),
+        lambda v: jnp.flip(v, axis=2),
+    ], x)
+    return jax.lax.switch(rot_idx, [
+        lambda v: v,
+        lambda v: jnp.rot90(v, 1, axes=(1, 2)),
+        lambda v: jnp.rot90(v, 2, axes=(1, 2)),
+        lambda v: jnp.rot90(v, 3, axes=(1, 2)),
+    ], x)
 
-    The reference draws one flip and one rotation for the whole batch
-    (run_training.py:396-403); we keep that semantics (cheap and keeps
-    relation matrices valid since all patches transform identically).
+
+def augment_batch(key, batch, mask=None):
+    """Random PER-IMAGE flip + k*90-degree rotation of NCHW patches
+    (reference run_one_batch, run_training.py:396-403). Under vmap the
+    per-sample switches lower to compute-all-branches + select —
+    elementwise traffic only, no host loop.
+
+    CONSCIOUS deviation: the recon mask transforms WITH its image. The
+    reference augments only the batch and leaves batch_mask untouched
+    (run_training.py:396-417), silently mis-aligning the masked recon loss
+    for every flipped/rotated patch.
     """
     k1, k2 = jax.random.split(key)
-    flip = jax.random.bernoulli(k1)
-    rot = jax.random.randint(k2, (), 0, 4)
-
-    def apply(x):
-        x = jax.lax.cond(flip, lambda v: jnp.flip(v, axis=3), lambda v: v, x)
-        return jax.lax.switch(rot, [
-            lambda v: v,
-            lambda v: jnp.rot90(v, 1, axes=(2, 3)),
-            lambda v: jnp.rot90(v, 2, axes=(2, 3)),
-            lambda v: jnp.rot90(v, 3, axes=(2, 3)),
-        ], x)
-
-    batch = apply(batch)
+    n = batch.shape[0]
+    flips = jax.random.randint(k1, (n,), 0, 3)
+    rots = jax.random.randint(k2, (n,), 0, 4)
+    batch = jax.vmap(_dihedral)(batch, flips, rots)
     if mask is not None:
-        mask = apply(mask)
+        mask = jax.vmap(_dihedral)(mask, flips, rots)
     return batch, mask
 
 

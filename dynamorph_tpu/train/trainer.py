@@ -114,7 +114,9 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
 
     if params is None:
         init_key, key = jax.random.split(key)
-        params, state = model.init(init_key)
+        # jitted init: eager init dispatches one tiny program per layer
+        # (dozens of round-trips on remote-compile setups)
+        params, state = jax.jit(model.init)(init_key)
 
     optimizer = optax.adam(lr, b1=0.9, b2=0.999)
     opt_state = optimizer.init(params)
@@ -170,15 +172,13 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
 
     train_ids, val_ids = data_utils.split_data_ids(
         n, val_split_ratio, shuffle_data, rng)
-    if multiproc and not traj_sharded_loss:
-        # every process must see identical full batches; drop trailing
-        # partials so shard shapes stay static and divisible
+    if multiproc or traj_sharded_loss:
+        # drop trailing partial batches: multi-process runs need identical
+        # full batches on every process (static, divisible shard shapes);
+        # the blocked traj-sharded loss needs full shard chunks
         train_ids = train_ids[:len(train_ids) - len(train_ids) % batch_size]
         val_ids = val_ids[:len(val_ids) - len(val_ids) % batch_size]
     if traj_sharded_loss:
-        # blocked loss needs full shard chunks: drop trailing partial batches
-        train_ids = train_ids[:len(train_ids) - len(train_ids) % batch_size]
-        val_ids = val_ids[:len(val_ids) - len(val_ids) % batch_size]
         if len(train_ids) == 0:
             raise ValueError(
                 f"traj_sharded_loss requires at least one full batch: "
@@ -206,9 +206,10 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
         dataset_src = jnp.asarray(dataset)
         mask_src = None
         if mask is not None:
-            # same transform as data_utils.slice_mask, applied once
+            # slice_mask's transform applied once over the full set, so the
+            # resident path can never diverge from the streaming one
             mask_src = jnp.asarray(
-                ((mask[:, 1:2, :, :] + 1.0) / 2.0).astype(np.uint8))
+                data_utils.slice_mask(mask, np.arange(len(mask))))
         take = jax.jit(lambda a, b: jnp.take(a, b, axis=0))
 
     def load_batch(i_and_ids):
@@ -350,6 +351,7 @@ def train_triplet(model, train_set, val_set, output_dir: str,
     early = EarlyStopping(patience=patience or 10 ** 9, path=ckpt_path,
                           verbose=True)
     history = []
+    warned_fallback = False
     for epoch in range(log_step_offset, n_epochs):
         # on-device running loss sums; one host fetch per epoch per split
         totals = {True: None, False: None}
@@ -380,8 +382,24 @@ def train_triplet(model, train_set, val_set, output_dir: str,
         writer.write("Val loss", val_losses, epoch)
         history.append({"epoch": epoch, "train": train_losses,
                         "val": val_losses})
-        early(val_losses[earlystop_metric],
-              {"params": params, "state": state})
+        # metric fallbacks instead of a KeyError mid-training: an empty val
+        # set yields no val losses (monitor train), and the hard-negative
+        # miner has no positive_triplet metric (monitor total_loss — the
+        # reference's own loop would crash here, run_training.py:818 +
+        # losses.py:263 returning None)
+        monitored = val_losses or train_losses
+        metric = earlystop_metric if earlystop_metric in monitored \
+            else "total_loss"
+        if (not val_losses or metric != earlystop_metric) \
+                and not warned_fallback:
+            import warnings
+
+            warnings.warn(
+                f"early stopping monitors "
+                f"{'val' if val_losses else 'TRAIN'} '{metric}' "
+                f"(requested '{earlystop_metric}')")
+            warned_fallback = True
+        early(monitored[metric], {"params": params, "state": state})
         if early.early_stop:
             print("Early stopping")
             break
