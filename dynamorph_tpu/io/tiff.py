@@ -89,4 +89,7 @@ def read_multipage_tiff_pages(path: str) -> List[np.ndarray]:
     ok, pages = cv2.imreadmulti(path, flags=cv2.IMREAD_UNCHANGED)
     if not ok:
         raise IOError(f"cannot read {path}")
-    return list(pages)
+    # cv2 returns color pages channel-REVERSED (BGR); the writer stores
+    # RGB per the TIFF spec — undo so the roundtrip is the identity
+    return [p[..., ::-1] if p.ndim == 3 and p.shape[-1] == 3 else p
+            for p in pages]

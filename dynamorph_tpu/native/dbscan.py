@@ -9,8 +9,6 @@ from __future__ import annotations
 import ctypes
 import logging
 import os
-import subprocess
-import threading
 from typing import Optional, Tuple
 
 import numpy as np
@@ -20,42 +18,22 @@ log = logging.getLogger(__name__)
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "grid_dbscan.cpp")
 _LIB = os.path.join(_HERE, "libgrid_dbscan.so")
-_lock = threading.Lock()
-_lib = None
-_build_failed = False
 
 
-def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _build_failed
-    with _lock:
-        if _lib is not None or _build_failed:
-            return _lib
-        if not os.path.exists(_LIB) or \
-                os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            try:
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
-                    check=True, capture_output=True)
-            except Exception as e:
-                log.warning("native grid-DBSCAN build failed (%s); "
-                            "using sklearn", e)
-                _build_failed = True
-                return None
-        try:
-            lib = ctypes.CDLL(_LIB)
-            lib.grid_dbscan.restype = ctypes.c_int
-            lib.grid_dbscan.argtypes = [
-                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-                ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
-                ctypes.c_double, ctypes.c_int32,
-                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-            ]
-            _lib = lib
-        except Exception as e:
-            log.warning("native grid-DBSCAN load failed (%s); using sklearn",
-                        e)
-            _build_failed = True
-    return _lib
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.grid_dbscan.restype = ctypes.c_int
+    lib.grid_dbscan.argtypes = [
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_double, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]
+
+
+def _load():
+    from . import load_native
+
+    return load_native(_SRC, _LIB, _configure)
 
 
 def native_dbscan_available() -> bool:
@@ -64,23 +42,33 @@ def native_dbscan_available() -> bool:
 
 def grid_dbscan(positions: np.ndarray, eps: float, min_samples: int,
                 shape: Optional[Tuple[int, int]] = None) -> np.ndarray:
-    """DBSCAN labels for unique integer (y, x) points.
+    """DBSCAN labels for UNIQUE integer (y, x) points.
 
-    Falls back to sklearn when the native library is unavailable.
+    The occupancy grid keeps one index per pixel, so duplicate points would
+    silently diverge from sklearn (shadowed duplicates become noise or
+    spurious singletons); duplicates are detected and routed to the sklearn
+    fallback instead. Falls back to sklearn too when the native library is
+    unavailable.
     """
     positions = np.ascontiguousarray(positions, dtype=np.int32)
     n = len(positions)
     if n == 0:
         return np.zeros((0,), np.int32)
     lib = _load()
-    if lib is None:
-        from sklearn.cluster import DBSCAN
-
-        return DBSCAN(eps=eps, min_samples=min_samples).fit(
-            positions).labels_.astype(np.int32)
     if shape is None:
         shape = (int(positions[:, 0].max()) + 1,
                  int(positions[:, 1].max()) + 1)
+    # uniqueness precondition, enforced: composite-key check is O(n log n)
+    # against the solver's O(n * eps^2)
+    keys = positions[:, 0].astype(np.int64) * shape[1] + positions[:, 1]
+    unique = len(np.unique(keys)) == n
+    if lib is None or not unique:
+        from sklearn.cluster import DBSCAN
+
+        if lib is not None and not unique:
+            log.warning("grid_dbscan: duplicate points; using sklearn")
+        return DBSCAN(eps=eps, min_samples=min_samples).fit(
+            positions).labels_.astype(np.int32)
     labels = np.empty(n, np.int32)
     rc = lib.grid_dbscan(positions, n, shape[0], shape[1], float(eps),
                          int(min_samples), labels)

@@ -18,6 +18,7 @@
 // then shortest augmenting paths.
 
 #include <cfloat>
+#include <cmath>
 #include <cstdlib>
 #include <cstring>
 #include <vector>
@@ -26,6 +27,11 @@ extern "C" {
 
 int lapjv(int n, const double* cost, int* row_to_col, double* out_total) {
     if (n <= 0) return 1;
+    // non-finite costs poison the reduced-cost arithmetic (inf - inf =
+    // NaN breaks every comparison, corrupting index bookkeeping): refuse
+    // up front and let the caller fall back. O(n^2) scan vs O(n^3) solve.
+    for (int k = 0; k < n * n; ++k)
+        if (!std::isfinite(cost[k])) return 3;
     std::vector<int> x(n, -1);        // row -> col
     std::vector<int> y(n, -1);        // col -> row
     std::vector<double> v(n, 0.0);    // column potentials
@@ -50,12 +56,14 @@ int lapjv(int n, const double* cost, int* row_to_col, double* out_total) {
                 y[j] = -1;
             }
         }
+        // x[i] is only assigned on a row's FIRST match (matches[i]==1
+        // branch), so multiply-matched rows already hold exactly one
+        // consistent assignment (x[i]=j with y[j]=i) — canonical LAPJV.
+        // (An earlier x[i]=-1 reset here created phantom columns whose
+        // y[j] pointed at an unassigned row: incomplete assignments on
+        // most inputs and out-of-bounds pred[-1] during augmentation.)
         for (int i = 0; i < n; ++i)
             if (matches[i] == 0) free_rows[n_free++] = i;
-            else if (matches[i] > 1) x[i] = -1;  // keep only one match
-        // rows matched more than once: x was overwritten; recompute
-        // (x[i] set each time, so the LAST column scanned won; consistent
-        // with y[j] = -1 for the duplicates)
     }
 
     // --- augmenting row reduction (two passes) ---
@@ -74,6 +82,7 @@ int lapjv(int n, const double* cost, int* row_to_col, double* out_total) {
                     else { v2 = v1; j2 = j1; v1 = c; j1 = j; }
                 }
             }
+            if (j1 < 0) return 3;  // defensive: unreachable for finite costs
             int i0 = y[j1];
             if (v1 < v2) {
                 v[j1] -= v2 - v1;
@@ -109,6 +118,10 @@ int lapjv(int n, const double* cost, int* row_to_col, double* out_total) {
         int j_final = -1;
         while (j_final < 0) {
             if (lo == hi) {
+                if (lo >= n) return 3;  // TODO set exhausted: no augmenting
+                                        // path (non-finite costs) — let the
+                                        // caller fall back instead of
+                                        // reading cols[n]/spinning forever
                 n_ready = lo;
                 mind = d[cols[lo]];
                 hi = lo + 1;

@@ -12,9 +12,7 @@ from __future__ import annotations
 import ctypes
 import logging
 import os
-import subprocess
-import threading
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
@@ -23,40 +21,22 @@ log = logging.getLogger(__name__)
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "lap.cpp")
 _LIB = os.path.join(_HERE, "liblap.so")
-_lock = threading.Lock()
-_lib = None
-_build_failed = False
 
 
-def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _build_failed
-    with _lock:
-        if _lib is not None or _build_failed:
-            return _lib
-        if not os.path.exists(_LIB) or \
-                os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            try:
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
-                    check=True, capture_output=True)
-            except Exception as e:
-                log.warning("native LAP build failed (%s); using scipy", e)
-                _build_failed = True
-                return None
-        try:
-            lib = ctypes.CDLL(_LIB)
-            lib.lapjv.restype = ctypes.c_int
-            lib.lapjv.argtypes = [
-                ctypes.c_int,
-                np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
-                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-                ctypes.POINTER(ctypes.c_double),
-            ]
-            _lib = lib
-        except Exception as e:
-            log.warning("native LAP load failed (%s); using scipy", e)
-            _build_failed = True
-    return _lib
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.lapjv.restype = ctypes.c_int
+    lib.lapjv.argtypes = [
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+
+
+def _load():
+    from . import load_native
+
+    return load_native(_SRC, _LIB, _configure)
 
 
 def native_lap_available() -> bool:
@@ -65,7 +45,8 @@ def native_lap_available() -> bool:
 
 def lap_solve(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Solve a square dense LAP. Returns (row_ind, col_ind) like scipy's
-    linear_sum_assignment. Falls back to scipy if the native lib is absent."""
+    linear_sum_assignment. Falls back to scipy if the native lib is absent
+    or the solver rejects the instance (rc=3: non-finite costs)."""
     cost = np.ascontiguousarray(cost, dtype=np.float64)
     n = cost.shape[0]
     assert cost.shape == (n, n), "native LAP requires a square cost matrix"

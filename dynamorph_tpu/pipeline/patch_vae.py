@@ -242,7 +242,13 @@ def process_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
     # DEVICE for the VAE branch — encode_patches(normalize="patch") fuses
     # it into the jitted encode, skipping a full host traversal + copy of
     # the dataset; the ResNet branch normalizes on host below.
-    dataset = np.squeeze(dataset)
+    # squeeze only the stale z axis: the reference's bare np.squeeze
+    # (patch_VAE.py:419) also drops a singleton batch/channel axis,
+    # crashing single-patch wells on the 4-D assert below
+    if dataset.ndim == 5 and dataset.shape[2] == 1:
+        dataset = dataset[:, :, 0]
+    else:
+        dataset = np.squeeze(dataset)
     assert dataset.ndim == 4, f"dataset must be 4-D, got {dataset.ndim}"
     assert len(fs) == len(dataset)
 
@@ -302,6 +308,7 @@ def _save_recon_images(model, params, state, dataset, output_dir, n: int = 20):
 
     Object-oriented matplotlib (no pyplot globals) so it can run on an
     io.prefetch.AsyncWriter thread while the next well encodes."""
+    import jax
     import jax.numpy as jnp
     from matplotlib.backends.backend_agg import FigureCanvasAgg
     from matplotlib.figure import Figure
@@ -312,10 +319,13 @@ def _save_recon_images(model, params, state, dataset, output_dir, n: int = 20):
 
     rng = np.random.RandomState(0)
     random_inds = rng.randint(0, len(dataset), (n,))
+    # one jitted program reused for all n samples — eager apply would
+    # dispatch every conv/VQ primitive as its own relay program
+    apply = jax.jit(lambda p, s, x: model.apply(p, s, x))
     for i in random_inds:
         # dataset arrives raw; per-patch z-score is local to each sample
         sample = zscore_patch(dataset[i: i + 1]).astype(np.float32)
-        output, _, _ = model.apply(params, state, jnp.asarray(sample))
+        output, _, _ = apply(params, state, jnp.asarray(sample))
         output = np.asarray(output)
         ims = [im_adjust(sample[0, 0]), im_adjust(output[0, 0]),
                im_adjust(sample[0, 1]), im_adjust(output[0, 1])]

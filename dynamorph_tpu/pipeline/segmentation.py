@@ -10,6 +10,7 @@ from typing import Sequence
 
 import numpy as np
 
+from ..io.sites import site_supp_folder
 from ..seg.inference import predict_whole_map
 from ..seg.model import Segment
 
@@ -79,8 +80,7 @@ def segmentation_validation(raw_folder: str, supp_folder: str,
         raw_stack = np.load(os.path.join(raw_folder, f"{site}.npy"))
         nn_stack = np.load(os.path.join(raw_folder,
                                         f"{site}_NNProbabilities.npy"))
-        well = site[:2]
-        supp = os.path.join(supp_folder, f"{well}-supps", site)
+        supp = site_supp_folder(supp_folder, site)
         cell_pixels = load_pickle(
             os.path.join(supp, "cell_pixel_assignments.pkl"))
         cell_positions = load_pickle(os.path.join(supp, "cell_positions.pkl"))
@@ -99,7 +99,10 @@ def segmentation_validation(raw_folder: str, supp_folder: str,
                     pts = positions[inds == cid]
                     probs = nn_stack[t_point][
                         :, 0, pts[:, 0], pts[:, 1]].mean(1)
-                    is_mg = probs[1] > probs[2]
+                    # class order is (BG, non-MG, MG) — a cell is MG when
+                    # class 2 dominates class 1 (matches the rim colors:
+                    # red=MG when probs[1] <= probs[2], _append_segmentation)
+                    is_mg = probs[2] > probs[1]
                     if category == "both" or \
                             (category == "mg" and is_mg) or \
                             (category == "nonmg" and not is_mg):
@@ -204,8 +207,7 @@ def segmentation_validation_contours(raw_folder: str, supp_folder: str,
     os.makedirs(val_folder, exist_ok=True)
     for site in sites:
         raw_stack = np.load(os.path.join(raw_folder, f"{site}.npy"))
-        well = site[:2]
-        seg_dir = os.path.join(supp_folder, f"{well}-supps", site)
+        seg_dir = site_supp_folder(supp_folder, site)
         log.info("building full frame validation for %s", site)
         for t_point in range(len(raw_stack)):
             seg_path = os.path.join(seg_dir, f"segmentation_{t_point}.png")

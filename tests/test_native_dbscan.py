@@ -43,6 +43,19 @@ def test_grid_dbscan_small_eps_exact(rng):
         np.testing.assert_array_equal(ours, ref, err_msg=f"eps={eps}")
 
 
+def test_grid_dbscan_duplicate_points_match_sklearn(rng):
+    """Duplicate points violate the occupancy grid's one-index-per-pixel
+    precondition; the wrapper must detect them and route to sklearn so the
+    two backends can never silently diverge."""
+    from sklearn.cluster import DBSCAN
+
+    pts = _fg_positions(rng, size=128, n_cells=2, r=10, noise=30)
+    pts = np.concatenate([pts, pts[:17]], 0)          # duplicates
+    got = grid_dbscan(pts, eps=3.0, min_samples=5)
+    ref = DBSCAN(eps=3.0, min_samples=5).fit(pts).labels_
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_grid_dbscan_speed(rng):
     from sklearn.cluster import DBSCAN
 

@@ -42,6 +42,42 @@ def test_lap_structured_costs(rng):
                                    rtol=1e-10)
 
 
+def test_lap_native_path_actually_solves(caplog, rng):
+    """The scipy fallback on rc != 0 must not mask native defects: across a
+    tie-heavy + degenerate + structured sweep, the native solver itself has
+    to return rc == 0 (no 'falling back' warnings) and stay optimal. A
+    prior implementation bug made rc=2 fallbacks on most inputs and hung on
+    tie-heavy integer matrices."""
+    import logging
+
+    from scipy.optimize import linear_sum_assignment
+
+    with caplog.at_level(logging.WARNING, "dynamorph_tpu.native.lap"):
+        for trial in range(60):
+            trng = np.random.RandomState(trial)
+            n = trng.randint(1, 50)
+            c = [trng.randint(0, 4, (n, n)).astype(float),
+                 np.zeros((n, n)),
+                 trng.rand(n, n)][trial % 3]
+            r, col = lap_solve(c)
+            assert sorted(col.tolist()) == list(range(n))
+            rs, cs = linear_sum_assignment(c)
+            np.testing.assert_allclose(c[r, col].sum(), c[rs, cs].sum(),
+                                       rtol=1e-10, atol=1e-12)
+    assert not [m for m in caplog.messages if "falling back" in m]
+
+
+def test_lap_nonfinite_costs_fall_back_cleanly():
+    """inf/NaN costs must return rc=3 (clean scipy fallback), never hang or
+    corrupt memory."""
+    from scipy.optimize import linear_sum_assignment  # noqa: F401
+
+    c = np.zeros((6, 6))
+    c[1, 2] = np.nan
+    with pytest.raises(ValueError):   # scipy's own error, via the fallback
+        lap_solve(c)
+
+
 def test_lap_faster_than_scipy_large(rng):
     import time
 

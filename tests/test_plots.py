@@ -169,6 +169,64 @@ def test_force_aspect(tmp_path):
     plt.close(fig)
 
 
+def test_segmentation_validation_mg_filter_orientation(tmp_path):
+    """category='mg' must render the MG-dominant cell (red rim) and
+    category='nonmg' the non-MG-dominant one (green rim) — class order is
+    (BG, non-MG, MG). A prior inversion selected the opposite population."""
+    from dynamorph_tpu.config.schema import (PipelineConfig,
+                                             SegmentationInferenceConfig)
+    from dynamorph_tpu.io.pickles import save_pickle
+    from dynamorph_tpu.io.tiff import read_multipage_tiff_pages
+    from dynamorph_tpu.pipeline.segmentation import segmentation_validation
+
+    raw_dir, supp_dir = tmp_path / "raw", tmp_path / "supp"
+    site = "B4-Site_0"
+    seg_dir = supp_dir / "B4-supps" / site
+    seg_dir.mkdir(parents=True)
+    raw_dir.mkdir()
+
+    size = 64
+    raw = np.full((1, 2, 1, size, size), 1000, np.float32)
+    np.save(raw_dir / f"{site}.npy", raw)
+    # two 5x5 cells: cell 0 MG-dominant, cell 1 non-MG-dominant
+    probs = np.zeros((1, 3, 1, size, size), np.float32)
+    probs[0, 0] = 0.9                                   # BG everywhere
+    cells = {0: (slice(10, 15), slice(10, 15)),
+             1: (slice(40, 45), slice(40, 45))}
+    probs[0, :, 0, cells[0][0], cells[0][1]] = \
+        np.array([0.1, 0.2, 0.7])[:, None, None]        # MG
+    probs[0, :, 0, cells[1][0], cells[1][1]] = \
+        np.array([0.1, 0.7, 0.2])[:, None, None]        # non-MG
+    np.save(raw_dir / f"{site}_NNProbabilities.npy", probs)
+
+    pos, lab = [], []
+    for cid, (ys, xs) in cells.items():
+        yy, xx = np.mgrid[ys, xs]
+        pos.append(np.stack([yy.ravel(), xx.ravel()], 1))
+        lab.append(np.full(yy.size, cid))
+    save_pickle({0: (np.concatenate(pos), np.concatenate(lab))},
+                str(seg_dir / "cell_pixel_assignments.pkl"))
+    save_pickle({0: [(0, np.array([12, 12])), (1, np.array([42, 42]))]},
+                str(seg_dir / "cell_positions.pkl"))
+
+    def rims(category):
+        cfg = PipelineConfig(segmentation_inference=
+                             SegmentationInferenceConfig(
+                                 seg_val_cat=category))
+        segmentation_validation(str(raw_dir), str(supp_dir), None, [site],
+                                cfg)
+        page = read_multipage_tiff_pages(
+            str(supp_dir / "validation_images" / f"{site}_predictions.tif"))[0]
+        red = (page[..., 0] == 65535) & (page[..., 1] == 0)
+        green = (page[..., 1] == 65535) & (page[..., 0] == 0)
+        return red, green
+
+    red, green = rims("mg")
+    assert red[10:15, 10:15].any() and not green.any()   # only the MG cell
+    red, green = rims("nonmg")
+    assert green[40:45, 40:45].any() and not red.any()   # only the non-MG
+
+
 def test_contour_overlay_and_validation_pngs(tmp_path):
     from dynamorph_tpu.pipeline.segmentation import (
         draw_contour_overlay, segmentation_validation_contours,
