@@ -20,7 +20,10 @@ def read_image(file_path: str) -> np.ndarray:
 
 
 def read_multipage_tiff(file_path: str) -> np.ndarray:
-    """All pages of a multipage TIFF as (T, Y, X)."""
+    """All pages of a RAW MICROSCOPY multipage TIFF as (T, Y, X) grayscale
+    (preprocess input path). For RGB composites written by
+    io.tiff.write_multipage_tiff use io.tiff.read_multipage_tiff_pages,
+    which preserves depth AND corrects cv2's channel order."""
     import cv2
 
     ok, pages = cv2.imreadmulti(file_path, flags=cv2.IMREAD_ANYDEPTH)
@@ -33,7 +36,10 @@ def im_bit_convert(im: np.ndarray, bit: int = 16, norm: bool = False,
                    limit: Optional[Sequence[float]] = None) -> np.ndarray:
     im = im.astype(np.float32, copy=False)
     if norm:
-        if not limit:
+        # None/empty -> min-max (reference im_bit_convert's falsy check,
+        # extract_patches.py:314-325); explicit len() so ndarray limits
+        # (np.percentile output) work without tolist()
+        if limit is None or len(limit) == 0:
             limit = [np.nanmin(im[:]), np.nanmax(im[:])]
         denom = (limit[1] - limit[0]) or 1.0
         im = (im - limit[0]) / denom * (2 ** bit - 1)

@@ -32,6 +32,12 @@ class Prefetcher:
     def __iter__(self) -> Iterator[Tuple[T, R]]:
         from collections import deque
 
+        if getattr(self, "_consumed", False):
+            # the pool is shut down after the first pass — a silent second
+            # iteration would die deep inside submit with an obscure error
+            raise RuntimeError(
+                "Prefetcher is single-use; construct a new one per pass")
+        self._consumed = True
         pending = deque()
         it = iter(self._items)
         try:
@@ -44,7 +50,10 @@ class Prefetcher:
                 done_item, fut = pending.popleft()
                 yield done_item, fut.result()
         finally:
-            self._pool.shutdown(wait=False)
+            # cancel queued loads if the consumer abandoned iteration —
+            # otherwise they run to completion producing results (possibly
+            # device buffers) nobody will fetch
+            self._pool.shutdown(wait=False, cancel_futures=True)
 
     def __len__(self):
         return len(self._items)

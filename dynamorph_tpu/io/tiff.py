@@ -42,6 +42,8 @@ def write_multipage_tiff(path: str, stack: np.ndarray) -> None:
             data = stack[page].tobytes()
             data_offset = f.tell()
             f.write(data)
+            if f.tell() % 2:        # TIFF requires word-aligned offsets
+                f.write(b"\x00")
 
             # BitsPerSample: inline for 1 sample, offset array for 3
             if c == 3:

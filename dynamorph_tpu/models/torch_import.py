@@ -74,37 +74,15 @@ def _residual_block(sd, prefix, num_layers):
 
 
 def import_vqvae_z16(sd: dict, num_residual_layers: int = 2):
-    """state_dict -> (params, state) for VQVAEz16 (ref vae.py:273-295)."""
-    bn1_p, bn1_s = _bn(sd, "enc.2")
-    bn2_p, bn2_s = _bn(sd, "enc.5")
-    bn3_p, bn3_s = _bn(sd, "enc.8")
-    bn4_p, bn4_s = _bn(sd, "enc.11")
-    res_p, res_s = _residual_block(sd, "enc.12", num_residual_layers)
+    """state_dict -> (params, state) for VQVAEz16 (ref vae.py:273-295):
+    the shared z16 encoder/decoder trunks plus the VQ codebook."""
+    enc_p, enc_s = _z16_encoder(sd, num_residual_layers, extra_conv=False)
     params = {
-        "enc": {
-            "conv0": _conv(sd, "enc.0"),
-            "conv1": _conv(sd, "enc.1"),
-            "bn1": bn1_p,
-            "conv2": _conv(sd, "enc.4"),
-            "bn2": bn2_p,
-            "conv3": _conv(sd, "enc.7"),
-            "bn3": bn3_p,
-            "conv4": _conv(sd, "enc.10"),
-            "bn4": bn4_p,
-            "res": res_p,
-        },
+        "enc": enc_p,
         "vq": {"codebook": jnp.asarray(sd["vq.w.weight"])},
-        "dec": {
-            "deconv0": _deconv(sd, "dec.0"),
-            "deconv1": _deconv(sd, "dec.2"),
-            "deconv2": _deconv(sd, "dec.4"),
-            "conv_out": _conv(sd, "dec.6"),
-        },
+        "dec": _z16_decoder(sd),
     }
-    state = {
-        "enc": {"bn1": bn1_s, "bn2": bn2_s, "bn3": bn3_s, "bn4": bn4_s, "res": res_s},
-    }
-    return params, state
+    return params, {"enc": enc_s}
 
 
 def import_vqvae_z32(sd: dict, num_residual_layers: int = 2):
@@ -218,48 +196,21 @@ def import_resnet34_encoder(sd: dict):
     (pass ``encoder_weights=`` to it). The classifier head (``fc.*``) and any
     extra keys are ignored.
     """
-    bn_p, bn_s = _bn(sd, "bn1")
-    params = {"stem": {
-        "conv": {"kernel": jnp.asarray(
-            conv_kernel_from_torch(sd["conv1.weight"]))},
-        "bn": bn_p}}
-    state = {"stem": {"bn": bn_s}}
-    for li, n_blocks in enumerate((3, 4, 6, 3)):
-        blocks_p, blocks_s = [], []
-        for b in range(n_blocks):
-            prefix = f"layer{li + 1}.{b}"
-            p, s = {}, {}
-            for ci in (1, 2):
-                p[f"conv{ci}"] = {"kernel": jnp.asarray(
-                    conv_kernel_from_torch(sd[f"{prefix}.conv{ci}.weight"]))}
-                bnp, bns = _bn(sd, f"{prefix}.bn{ci}")
-                p[f"bn{ci}"] = bnp
-                s[f"bn{ci}"] = bns
-            if f"{prefix}.downsample.0.weight" in sd:
-                p["down"] = {"kernel": jnp.asarray(
-                    conv_kernel_from_torch(
-                        sd[f"{prefix}.downsample.0.weight"]))}
-                dbn_p, dbn_s = _bn(sd, f"{prefix}.downsample.1")
-                p["down_bn"] = dbn_p
-                s["down_bn"] = dbn_s
-            blocks_p.append(p)
-            blocks_s.append(s)
-        params[f"layer{li + 1}"] = blocks_p
-        state[f"layer{li + 1}"] = blocks_s
-    return params, state
+    return import_torchvision_resnet(sd, "ResNet34")
 
 
 def import_torchvision_resnet(sd: dict, arch: str = "ResNet50",
                               prefix: str = ""):
-    """torchvision ResNet{18,50,101,152} state_dict -> (params, state) for
-    the EncodeProject convnet trunk (stem + layer1..4, torchvision naming:
+    """torchvision ResNet{18,34,50,101,152} state_dict -> (params, state)
+    for a stem + layer1..4 trunk (torchvision naming:
     conv1/bn1/layer{1-4}.{i}.conv*/bn*/downsample). ``prefix`` prepends a
     module path (the reference wraps torchvision nets as ``convnet.``,
     resnet.py:7-45); classifier head (fc.*) keys are ignored.
     """
-    layers = {"ResNet18": (2, 2, 2, 2), "ResNet50": (3, 4, 6, 3),
+    layers = {"ResNet18": (2, 2, 2, 2), "ResNet34": (3, 4, 6, 3),
+              "ResNet50": (3, 4, 6, 3),
               "ResNet101": (3, 4, 23, 3), "ResNet152": (3, 8, 36, 3)}[arch]
-    bottleneck = arch != "ResNet18"
+    bottleneck = arch not in ("ResNet18", "ResNet34")
 
     bn_p, bn_s = _bn(sd, f"{prefix}bn1")
     params = {"stem": {

@@ -7,9 +7,10 @@ top PCs that explain 50% of variance (sklearn `PCA(0.5)`), save
 
 The fit runs as one XLA SVD/matmul on device instead of sklearn's CPU LAPACK
 path; component-count selection replicates sklearn's n_components=0.5
-semantics exactly. ``PCAModel`` is pickle-compatible downstream (exposes
-``transform``, ``components_``, ``mean_``, ``explained_variance_ratio_``)
-and ``process_pca`` also accepts checkpoints produced by sklearn.
+semantics exactly. The saved ``pca_model.pkl`` is a REAL
+sklearn.decomposition.PCA (re-materialised from the device fit) so the
+reference pipeline — or any sklearn environment — unpickles it directly;
+``process_pca`` accepts both that and this module's internal ``PCAModel``.
 """
 from __future__ import annotations
 
@@ -36,8 +37,32 @@ class PCAModel:
     def transform(self, X: np.ndarray) -> np.ndarray:
         return (np.asarray(X) - self.mean_) @ self.components_.T
 
-    def fit_transform_cached(self, X: np.ndarray) -> np.ndarray:
-        return self.transform(X)
+
+def _as_sklearn_pca(pca: "PCAModel", n_samples: int):
+    """Re-materialise the device-fit model as a genuine
+    sklearn.decomposition.PCA so the saved ``pca_model.pkl`` unpickles in
+    ANY environment with sklearn — including the reference pipeline, whose
+    run_dim_reduction.py pickle.loads it directly (CLAUDE.md pickle-
+    compatibility rule). Falls back to the PCAModel itself if sklearn is
+    absent."""
+    try:
+        from sklearn.decomposition import PCA as SkPCA
+    except ImportError:                              # pragma: no cover
+        return pca
+    m = SkPCA(n_components=pca.n_components_)
+    m.components_ = np.asarray(pca.components_, np.float64)
+    m.mean_ = np.asarray(pca.mean_, np.float64)
+    m.explained_variance_ = np.asarray(pca.explained_variance_, np.float64)
+    m.explained_variance_ratio_ = np.asarray(
+        pca.explained_variance_ratio_, np.float64)
+    m.singular_values_ = np.sqrt(
+        np.maximum(m.explained_variance_, 0.0) * max(n_samples - 1, 1))
+    m.n_components_ = pca.n_components_
+    m.n_features_in_ = int(m.components_.shape[1])
+    m.n_samples_ = int(n_samples)
+    m.noise_variance_ = 0.0
+    m.whiten = False
+    return m
 
 
 def _sign_normalize(components: np.ndarray) -> np.ndarray:
@@ -165,7 +190,10 @@ def fit_pca(train_data: np.ndarray, weights_dir: str, labels,
     else:
         pca = fit_pca_device(train_data, variance_fraction)
     pcas = pca.transform(train_data)
-    save_pickle(pca, os.path.join(weights_dir, "pca_model.pkl"))
+    # saved as a real sklearn PCA: unpicklable by the reference pipeline
+    # (and any sklearn env) — PCAModel would need this package installed
+    save_pickle(_as_sklearn_pca(pca, len(train_data)),
+                os.path.join(weights_dir, "pca_model.pkl"))
 
     plt.clf()
     fig, ax = plt.subplots()

@@ -133,6 +133,9 @@ def generate_patches(input_file, label_file, use_channels=(),
             if len(np.unique(patch_y)) == 1:
                 continue  # no annotation in this patch
             data.append([patch_X, patch_y.astype(int)])
+        else:
+            # anything else would loop forever (nothing ever appended)
+            raise ValueError(f"Label type {label_input!r} not recognized")
     return data
 
 

@@ -57,6 +57,16 @@ def test_fit_and_process_pca_roundtrip(tmp_path, rng):
     assert (weights / "pca_model.pkl").exists()
     assert (weights / "PCA.png").exists()
 
+    # the saved artifact is a REAL sklearn PCA (reference-pipeline pickle
+    # compatibility: their run_dim_reduction pickle.loads it directly, in
+    # an environment without this package) that transforms identically
+    from sklearn.decomposition import PCA as SkPCA
+
+    saved = load_pickle(str(weights / "pca_model.pkl"))
+    assert isinstance(saved, SkPCA)
+    np.testing.assert_allclose(saved.transform(X), model.transform(X),
+                               atol=1e-5)
+
     in_dir = tmp_path / "in"
     out_dir = tmp_path / "out"
     in_dir.mkdir()
