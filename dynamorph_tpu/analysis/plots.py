@@ -35,8 +35,19 @@ import matplotlib
 
 matplotlib.use("Agg")
 import matplotlib.cm
-import matplotlib.pyplot as plt
 import numpy as np
+from matplotlib.backends.backend_agg import FigureCanvasAgg
+from matplotlib.figure import Figure
+
+# Object-oriented matplotlib throughout (no pyplot globals) so every figure
+# helper is safe on io.prefetch.AsyncWriter threads; the one exception is
+# the seaborn JointGrid figure, which closes its pyplot figure locally.
+
+
+def _fig_ax(**kw):
+    fig = Figure(**kw)
+    FigureCanvasAgg(fig)
+    return fig, fig.add_subplot(111)
 
 from .pc_samples import enhance_contrast
 
@@ -78,7 +89,9 @@ def save_patch_movie(patches: np.ndarray, path: str, fps: int = 5,
     for p in np.asarray(patches):
         out = np.clip(enhance_contrast(p.astype(np.float64), a, b), 0, 65535)
         frames.append((out / 256.0).clip(0, 255).astype(np.uint8))
-    imageio.mimsave(path, frames, duration=1.0 / fps)
+    # imageio>=2.28 routes .gif through Pillow, whose duration unit is
+    # MILLISECONDS — seconds here would write 0 ms frame delays
+    imageio.mimsave(path, frames, duration=1000.0 / fps)
     return path
 
 
@@ -88,7 +101,9 @@ def plot_class_probabilities(probs: np.ndarray, path: str,
     reference plottings.py:96-125). probs: (n_classes, H, W) in [0, 1]."""
     probs = np.asarray(probs)
     n = probs.shape[0]
-    fig, axes = plt.subplots(1, n, figsize=(4 * n, 4))
+    fig = Figure(figsize=(4 * n, 4))
+    FigureCanvasAgg(fig)
+    axes = fig.subplots(1, n)
     if n == 1:
         axes = [axes]
     for i, ax in enumerate(axes):
@@ -97,7 +112,6 @@ def plot_class_probabilities(probs: np.ndarray, path: str,
         ax.axis("off")
     fig.colorbar(im, ax=axes, shrink=0.7)
     fig.savefig(path, dpi=150)
-    plt.close(fig)
     return path
 
 
@@ -160,7 +174,7 @@ def plot_frame_matching(frame0: np.ndarray, frame1: np.ndarray,
     canvas[:f0.shape[0], :f0.shape[1]] = f0
     canvas[:f1.shape[0], f0.shape[1] + gap:] = f1
     off = f0.shape[1] + gap
-    fig, ax = plt.subplots(figsize=(12, 6))
+    fig, ax = _fig_ax(figsize=(12, 6))
     ax.imshow(canvas)
     cmap = matplotlib.colormaps["tab10"]
     for k, (i, j) in enumerate(pairs):
@@ -172,12 +186,11 @@ def plot_frame_matching(frame0: np.ndarray, frame1: np.ndarray,
                    color=cmap(k % 10), s=12)
     ax.axis("off")
     fig.savefig(path, dpi=150, bbox_inches="tight")
-    plt.close(fig)
     return path
 
 
 def plot_trajectory_on_frame(frame: np.ndarray, positions: np.ndarray,
-                             path: str, color=(205, 52, 53),
+                             path: str, color=(53, 52, 205),
                              thickness: int = 2,
                              origin: Optional[np.ndarray] = None) -> str:
     """Draw a trajectory's path as line segments over its first frame
@@ -224,7 +237,7 @@ def plot_embedding_scatter(embedding: np.ndarray, path: str,
     487-541 continuous size coloring with BuPu cmap)."""
     emb = np.asarray(embedding)
     x, y = emb[:, dims[0]], emb[:, dims[1]]
-    fig, ax = plt.subplots()
+    fig, ax = _fig_ax()
     if values is not None:
         sc = ax.scatter(x, y, s=s, c=np.asarray(values), cmap=cmap,
                         alpha=alpha)
@@ -242,7 +255,6 @@ def plot_embedding_scatter(embedding: np.ndarray, path: str,
     ax.set_xlabel(xlabel)
     ax.set_ylabel(ylabel)
     fig.savefig(path, dpi=300)
-    plt.close(fig)
     return path
 
 
@@ -251,13 +263,12 @@ def plot_explained_variance(explained_variance_ratio: np.ndarray,
     """Cumulative explained variance vs number of PCs (Supp Fig 6,
     reference plottings.py:451-464)."""
     r = np.asarray(explained_variance_ratio)
-    fig, ax = plt.subplots()
+    fig, ax = _fig_ax()
     ax.plot(np.arange(1, len(r) + 1), np.cumsum(r), ".-")
     ax.set_xlabel("Number of principal components")
     ax.set_ylabel("Cumulative explained variance")
     ax.set_ylim(0, 1)
     fig.savefig(path, dpi=300)
-    plt.close(fig)
     return path
 
 
@@ -267,7 +278,7 @@ def plot_pc_vs_property(pc_values: np.ndarray, prop: np.ndarray, path: str,
     """Scatter (or 2-D histogram density) of a PC against a morphology
     property (Supp Fig 2, reference plottings.py:594-634)."""
     p = np.log(np.asarray(prop)) if log_prop else np.asarray(prop)
-    fig, ax = plt.subplots()
+    fig, ax = _fig_ax()
     if density:
         h = ax.hist2d(pc_values, p, bins=40, cmap="Blues")
         fig.colorbar(h[3], ax=ax)
@@ -276,7 +287,6 @@ def plot_pc_vs_property(pc_values: np.ndarray, prop: np.ndarray, path: str,
     ax.set_xlabel(xlabel)
     ax.set_ylabel(("log " if log_prop else "") + ylabel)
     fig.savefig(path, dpi=300)
-    plt.close(fig)
     return path
 
 
@@ -291,7 +301,7 @@ def plot_correlation_matrix(components: np.ndarray, properties: Dict[str, np.nda
         v = np.asarray(properties[name], np.float64)
         for i in range(comp.shape[1]):
             mat[i, j] = np.corrcoef(comp[:, i], v)[0, 1]
-    fig, ax = plt.subplots(figsize=(1.2 * len(names) + 2,
+    fig, ax = _fig_ax(figsize=(1.2 * len(names) + 2,
                                     0.8 * comp.shape[1] + 2))
     im = ax.imshow(mat, vmin=-1, vmax=1, cmap="coolwarm")
     ax.set_xticks(range(len(names)))
@@ -304,7 +314,6 @@ def plot_correlation_matrix(components: np.ndarray, properties: Dict[str, np.nda
                     fontsize=8)
     fig.colorbar(im, ax=ax, shrink=0.8)
     fig.savefig(path, dpi=300, bbox_inches="tight")
-    plt.close(fig)
     return path
 
 
@@ -316,7 +325,7 @@ def plot_distribution_comparison(values_subset: np.ndarray,
     whole dataset (Supp Fig 5, reference plottings.py:795-833)."""
     import seaborn as sns
 
-    fig, ax = plt.subplots()
+    fig, ax = _fig_ax()
     sns.kdeplot(np.asarray(values_subset), ax=ax, label=labels[0],
                 fill=True, alpha=0.3)
     sns.kdeplot(np.asarray(values_all), ax=ax, label=labels[1],
@@ -324,7 +333,6 @@ def plot_distribution_comparison(values_subset: np.ndarray,
     ax.set_xlabel(xlabel)
     ax.legend()
     fig.savefig(path, dpi=300)
-    plt.close(fig)
     return path
 
 
@@ -343,6 +351,8 @@ def plot_joint_kde(x: np.ndarray, y: np.ndarray, path: str,
     g.ax_marg_y.hist(df[ylabel], bins=20, orientation="horizontal")
     g.plot_joint(sns.kdeplot, cmap="Blues", fill=True)
     g.savefig(path, dpi=300)
+    import matplotlib.pyplot as plt
+
     plt.close(g.figure)
     return path
 
@@ -352,14 +362,13 @@ def plot_violin_modes(groups: Dict[str, np.ndarray], path: str,
     """Violin plot comparing per-mode distributions (Fig 4 C,
     reference plottings.py:934-963)."""
     names = list(groups)
-    fig, ax = plt.subplots()
+    fig, ax = _fig_ax()
     ax.violinplot([np.asarray(groups[n]) for n in names],
                   showmedians=True)
     ax.set_xticks(range(1, len(names) + 1))
     ax.set_xticklabels(names)
     ax.set_ylabel(ylabel)
     fig.savefig(path, dpi=300)
-    plt.close(fig)
     return path
 
 

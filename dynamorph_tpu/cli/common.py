@@ -76,12 +76,6 @@ def shard_work(items):
 
 def parse_method_config(choices: Sequence[str], default: Optional[str] = None,
                         require_method: bool = True):
-    # all CLIs route through here before any jit: enable the on-disk XLA
-    # compile cache so repeated stage invocations skip recompilation
-    # (DYNAMORPH_COMPILE_CACHE=0 opts out; core/compile_cache.py)
-    from ..core.compile_cache import enable_persistent_cache
-
-    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("-m", "--method", type=str,
                         required=require_method and default is None,
@@ -91,13 +85,26 @@ def parse_method_config(choices: Sequence[str], default: Optional[str] = None,
                         help="path to yaml configuration file")
     add_multihost_args(parser)
     args = parser.parse_args()
+    # ORDER MATTERS: jax.distributed.initialize must run before ANY backend
+    # use, and enable_persistent_cache touches jax.default_backend() when
+    # JAX_PLATFORMS is unset — enabling the cache first would make
+    # --multihost raise "initialize() must be called before any JAX
+    # computations" on TPU pods
     init_multihost_from_args(args)
+    # all CLIs route through here before any jit: enable the on-disk XLA
+    # compile cache so repeated stage invocations skip recompilation
+    # (DYNAMORPH_COMPILE_CACHE=0 opts out; core/compile_cache.py)
+    from ..core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     return args.method, load_config(args.config)
 
 
 def resolve_sites(raw_dir: str, fov) -> List[str]:
     if fov and fov != "all":
-        return list(fov)
+        # fov may be a single site NAME (schema allows str): don't split a
+        # string into characters
+        return [fov] if isinstance(fov, str) else list(fov)
     return get_im_sites(raw_dir)
 
 

@@ -17,9 +17,6 @@ from .common import resolve_sites
 
 
 def main():
-    from ..core.compile_cache import enable_persistent_cache
-
-    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", type=str, required=True)
     parser.add_argument("--stages", nargs="*", default=None,
@@ -34,8 +31,12 @@ def main():
     add_multihost_args(parser)
     args = parser.parse_args()
     # the orchestrator fans wells out across processes by itself
-    # (pipeline/orchestrator.py); this only boots the runtime
+    # (pipeline/orchestrator.py); this only boots the runtime. It MUST run
+    # before the compile cache below (which touches the backend).
     init_multihost_from_args(args)
+    from ..core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     config = load_config(args.config)
     if args.fused:
         config.patch.fused = True

@@ -32,12 +32,7 @@ def main():
         # multi-host: static per-site split (reference linspace split,
         # run_segmentation.py:74-84); sites are share-nothing here
         sites = shard_work(resolve_sites(raw_dir, si.fov))
-        if method == "segmentation":
-            segmentation(raw_dir, supp_dir, val_dir, sites, config)
-        elif method == "instance_segmentation":
-            instance_segmentation(raw_dir, supp_dir, sites, config)
-        else:
-            segmentation_validation(raw_dir, supp_dir, val_dir, sites, config)
+        METHODS[method](raw_dir, supp_dir, val_dir, sites, config)
 
 
 if __name__ == "__main__":

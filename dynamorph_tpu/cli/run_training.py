@@ -53,7 +53,10 @@ def main(config_path: str):
         if tr.use_mask:
             masks.append(load_pickle(
                 os.path.join(raw_dir, "im_static_patches_mask.pkl")))
-    id_offsets = id_offsets[:-1]
+    # cumulative offsets [0, n0, n0+n1, ...]: the reference keeps raw
+    # per-dir lengths (run_training.py:866-871), silently mis-indexing the
+    # third-and-later dirs' relations/labels into the concatenated dataset
+    id_offsets = list(np.cumsum(id_offsets[:-1]))
     dataset = np.concatenate(datasets, axis=0)
     mask = np.concatenate(masks, axis=0) if tr.use_mask else None
     relations, labels = data_utils.concat_relations(

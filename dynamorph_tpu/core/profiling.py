@@ -31,10 +31,13 @@ def stage_timer(stage: str, log_path: Optional[str] = None,
         dt = time.perf_counter() - t0
         log.info("[timing] %s: %.3fs", stage, dt)
         if path:
-            rec = {"stage": stage, "seconds": round(dt, 4),
-                   "time": time.time(), **metadata}
-            with open(path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
+            try:
+                rec = {"stage": stage, "seconds": round(dt, 4),
+                       "time": time.time(), **metadata}
+                with open(path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+            except Exception as e:   # telemetry must never mask the
+                log.warning("timing log write failed: %s", e)  # stage error
 
 
 @contextlib.contextmanager
