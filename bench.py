@@ -36,10 +36,12 @@ REFERENCE_CPU_PATCHES_PER_SEC = 323.9  # BASELINE.md (measured)
 # First scripted seg-inference measurement (2026-08-16, this bench):
 # direct whole-frame mode, 48.2 ms per 2048x2048 2-channel frame.
 SEG_BASELINE_FRAMES_PER_SEC = 20.75
-# First scripted, reproducible train-step measurement (2026-08-16, this
-# bench): 72.5 ms/step. BASELINE.md's earlier 28,030 patches/s was an ad-hoc
-# round-1 number that a chained scripted measurement does not reproduce.
-TRAIN_BASELINE_PATCHES_PER_SEC = 10593.0
+# Post-optimization, post-per-image-augmentation baseline (2026-08-18,
+# driver run BENCH_r03.json: 13,815 patches/s) — pinned so vs_baseline
+# measures drift from the CURRENT step semantics (per-image flip/rot90
+# augmentation, one-pass BN, HIGH-precision training argmin), not from the
+# stale round-2 starting point (10,593; history in BASELINE.md).
+TRAIN_BASELINE_PATCHES_PER_SEC = 13815.0
 # First scripted end-to-end process_vae measurement (2026-08-17, this
 # bench, relay-tunnel environment): pickle IO + transfer + encode + save.
 E2E_BASELINE_PATCHES_PER_SEC = 264.1
