@@ -164,7 +164,8 @@ def bench_seg_inference():
     }
 
 
-def bench_e2e_encode(n_wells: int = 3, patches_per_well: int = 512):
+def bench_e2e_encode(n_wells: int = 3, patches_per_well: int = 512,
+                     storage: str = "pickle"):
     """END-TO-END latent encoding throughput: the wall-clock a user gets
     from `run_vae -m process` — reference-format float64 pickle load,
     host->device transfer, device-side per-patch z-score fused into the
@@ -173,7 +174,11 @@ def bench_e2e_encode(n_wells: int = 3, patches_per_well: int = 512):
     encode number is the device-only ceiling; this is the user-visible
     floor. In THIS environment host<->device runs through a ~20 MB/s relay
     tunnel, so the number here is transfer-bound (production TPU hosts move
-    GB/s over PCIe — see BASELINE.md for the decomposition)."""
+    GB/s over PCIe — see BASELINE.md for the decomposition).
+
+    ``storage="compact"`` (bench flag --compact) runs the same pipeline on
+    the opt-in float32 .npz artifact format (io/compact.py): halves IO +
+    transfer bytes and skips the pickle bytecode walk."""
     import shutil
     import tempfile
 
@@ -181,6 +186,7 @@ def bench_e2e_encode(n_wells: int = 3, patches_per_well: int = 512):
 
     sys.path.insert(0, ".")
     from dynamorph_tpu.config.schema import PipelineConfig
+    from dynamorph_tpu.io.compact import save_array, storage_path
     from dynamorph_tpu.io.pickles import save_pickle
     from dynamorph_tpu.io.prefetch import Prefetcher
     from dynamorph_tpu.models import VQVAEz16
@@ -200,11 +206,15 @@ def bench_e2e_encode(n_wells: int = 3, patches_per_well: int = 512):
         for w in range(n_wells):
             well = f"C{4 + w}"
             wells[well] = [f"{well}-Site_0"]
-            # reference pickle contract: float64 (N, C, 1, 128, 128)
+            # reference pickle contract: float64 (N, C, 1, 128, 128);
+            # compact: the same values as float32 .npz
             patches = (rng.rand(patches_per_well, 2, 1, 128, 128)
                        * 60000).astype(np.float64)
-            save_pickle(patches,
-                        os.path.join(base, f"{well}_static_patches.pkl"))
+            save_array(patches,
+                       storage_path(
+                           os.path.join(base,
+                                        f"{well}_static_patches.pkl"),
+                           storage), storage=storage)
             save_pickle([f"{well}/{i}" for i in range(patches_per_well)],
                         os.path.join(base, f"{well}_file_paths.pkl"))
 
@@ -213,6 +223,7 @@ def bench_e2e_encode(n_wells: int = 3, patches_per_well: int = 512):
         le.network = "VQ_VAE_z16"
         le.weights = ckpt
         le.save_output = False
+        le.storage = storage
 
         def run_all():
             from dynamorph_tpu.io.prefetch import AsyncWriter
@@ -232,9 +243,10 @@ def bench_e2e_encode(n_wells: int = 3, patches_per_well: int = 512):
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return {
-        "metric": "e2e_process_vae_patches_per_sec",
+        "metric": (f"e2e_process_vae_patches_per_sec"
+                   + ("_compact" if storage == "compact" else "")),
         "value": round(pps, 1),
-        "unit": ("128x128 2-ch patches/s END-TO-END incl. pickle IO + "
+        "unit": (f"128x128 2-ch patches/s END-TO-END incl. {storage} IO + "
                  "transfer (relay-tunnel-bound here; see BASELINE.md)"),
         "vs_baseline": round(pps / E2E_BASELINE_PATCHES_PER_SEC, 2),
     }
@@ -394,7 +406,8 @@ if __name__ == "__main__":
     elif "--multichip-only" in sys.argv:
         _emit(bench_multichip())
     elif "--e2e-only" in sys.argv:
-        _emit(bench_e2e_encode())
+        storage = "compact" if "--compact" in sys.argv else "pickle"
+        _emit(bench_e2e_encode(storage=storage))
     else:
         # The headline is measured FIRST (fast compile) but printed LAST
         # (driver contract: last JSON line). Secondary benches run

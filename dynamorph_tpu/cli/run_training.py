@@ -38,7 +38,11 @@ def main(config_path: str):
     id_offsets = [0]
     for supp_dir, train_dir, raw_dir in dir_sets:
         os.makedirs(train_dir, exist_ok=True)
-        dataset = load_pickle(os.path.join(raw_dir, "im_static_patches.pkl"))
+        from dynamorph_tpu.io.compact import load_array_any
+
+        # static patches may be pickle or compact npz (io/compact.py)
+        dataset = load_array_any(
+            os.path.join(raw_dir, "im_static_patches.pkl"))
         label = load_pickle(
             os.path.join(raw_dir, "im_static_patches_labels.pkl"))
         relation = load_pickle(
@@ -51,7 +55,7 @@ def main(config_path: str):
         labels_list.append(label)
         id_offsets.append(len(dataset))
         if tr.use_mask:
-            masks.append(load_pickle(
+            masks.append(load_array_any(
                 os.path.join(raw_dir, "im_static_patches_mask.pkl")))
     # cumulative offsets [0, n0, n0+n1, ...]: the reference keeps raw
     # per-dir lengths (run_training.py:866-871), silently mis-indexing the

@@ -66,6 +66,11 @@ class PatchConfig:
     # sites processed concurrently by the fused stage, one per local
     # device (None = min(local devices, sites))
     fused_site_parallelism: Optional[int] = None
+    # dynamorph_tpu extension: "pickle" = reference byte-compatible float64
+    # pickles (default); "compact" = float32 .npz stacks (io/compact.py) —
+    # ~4x smaller + faster to deserialize, exact for patch values. Readers
+    # accept both, and cli/convert_storage.py converts either way.
+    storage: str = "pickle"
 
 
 @dataclasses.dataclass
@@ -86,6 +91,10 @@ class LatentEncodingConfig:
     num_residual_hiddens: int = 32
     num_embeddings: int = 64
     commitment_cost: float = 0.25
+    # dynamorph_tpu extension: "compact" writes <well>_static_patches.npz and
+    # *_latent_space*.npz (float32) instead of the reference float64 pickles;
+    # all readers (process/dim_reduction/training) accept both formats.
+    storage: str = "pickle"
 
 
 @dataclasses.dataclass

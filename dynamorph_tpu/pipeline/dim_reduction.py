@@ -56,9 +56,12 @@ def dim_reduction(method: str, input_dirs: Sequence[str],
             if os.path.isfile(weights_dir) else weights_dir
         vector_list, labels = [], []
         label = 0
+        from ..io.compact import load_array_any
+
         for input_dir in input_dirs:
             for f in fnames:
-                vec = load_pickle(os.path.join(input_dir, f))
+                # latents may be pickle or compact npz (io/compact.py)
+                vec = load_array_any(os.path.join(input_dir, f))
                 vector_list.append(vec)
                 labels += [label] * vec.shape[0]
                 label += 1

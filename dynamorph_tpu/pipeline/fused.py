@@ -50,6 +50,7 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
+from ..io.compact import save_stack, storage_path
 from ..io.pickles import save_pickle
 from ..io.sites import site_supp_folder
 from ..ops.patch import (median_background, pack_mask_bits,
@@ -144,7 +145,7 @@ def process_site_seg_patch_fused(
         dbscan_thr: Tuple[int, int] = (10, 250),
         save_probabilities: bool = True,
         out_prob_path: Optional[str] = None, device=None,
-        lookahead: bool = True) -> None:
+        lookahead: bool = True, storage: str = "pickle") -> None:
     """Segment + cluster + extract patches for one site with the frame and
     probability map resident in HBM throughout (see module docstring).
 
@@ -257,11 +258,13 @@ def process_site_seg_patch_fused(
             # device programs (the writer holds <= depth frames' buffers)
             def fetch_and_save(out=patch_out, kept=kept_cells, t=t_point,
                                p=probs):
-                save_pickle(
+                save_stack(
                     assemble_site_data(out, kept, site_supp_files_folder,
                                        t, save_fig=save_fig),
-                    os.path.join(site_supp_files_folder,
-                                 "stacks_%d.pkl" % t))
+                    storage_path(
+                        os.path.join(site_supp_files_folder,
+                                     "stacks_%d.pkl" % t), storage),
+                    storage=storage)
                 if prob_frames is not None:
                     prob_frames[t] = np.asarray(p)
 
@@ -358,6 +361,7 @@ def seg_patch_fused(raw_folder: str, supp_folder: str,
                     window_size=config.patch.window_size,
                     save_fig=config.patch.save_fig,
                     skip_boundary=config.patch.skip_boundary,
+                    storage=getattr(config.patch, "storage", "pickle"),
                     device=device, **kwargs)
         except Exception as ex:
             log.error(ex)

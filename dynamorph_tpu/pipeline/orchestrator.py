@@ -30,7 +30,10 @@ STAGES = ["segmentation", "instance_segmentation", "extract_patches",
 
 
 def _well_outputs_exist(raw_dir: str, well: str, names: Sequence[str]) -> bool:
-    return all(os.path.exists(os.path.join(raw_dir, f"{well}{n}"))
+    from ..io.compact import resolve_any
+
+    # artifacts may exist in either storage format (.pkl / .npz)
+    return all(os.path.exists(resolve_any(os.path.join(raw_dir, f"{well}{n}")))
                for n in names)
 
 

@@ -19,6 +19,7 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
+from ..io.compact import load_stack_any, resolve_any, save_stack, storage_path
 from ..io.pickles import load_pickle, save_pickle
 from ..io.sites import site_supp_folder
 from ..ops.patch import extract_cell_patches, labels_to_map, median_background
@@ -119,12 +120,17 @@ def process_site_extract_patches(site_path: str, site_segmentation_path: str,
                                  channels: Optional[Sequence[int]] = None,
                                  save_fig: bool = False, reload: bool = True,
                                  skip_boundary: bool = False,
-                                 cell_bucket: int = 32, **kwargs) -> None:
+                                 cell_bucket: int = 32,
+                                 storage: str = "pickle", **kwargs) -> None:
     """Extract per-cell patches for every frame of one site
     (reference extract_patches.py:156-278).
 
     Cells are padded to buckets of ``cell_bucket`` so jit compiles a handful
     of programs regardless of per-frame cell counts.
+
+    ``storage="compact"`` writes float32 ``stacks_<t>.npz`` (io/compact.py)
+    instead of the reference float64 pickles — exact for patch values,
+    ~4x smaller. Reload accepts sites written in either format.
     """
     import jax.numpy as jnp
 
@@ -145,14 +151,16 @@ def process_site_extract_patches(site_path: str, site_segmentation_path: str,
     writer = AsyncWriter(depth=2)
     try:
         for t_point in range(n_frames):
-            stack_path = os.path.join(site_supp_files_folder,
-                                      "stacks_%d.pkl" % t_point)
-            if reload and os.path.exists(stack_path):
+            stack_path = storage_path(
+                os.path.join(site_supp_files_folder,
+                             "stacks_%d.pkl" % t_point), storage)
+            existing = resolve_any(stack_path)
+            if reload and os.path.exists(existing):
                 try:
-                    load_pickle(stack_path)
+                    load_stack_any(existing)
                     continue
                 except Exception as e:
-                    log.warning("failed reloading %s: %s", stack_path, e)
+                    log.warning("failed reloading %s: %s", existing, e)
             raw_image = image_stack[t_point]            # (C, Z, H, W)
             cell_segmentation = check_segmentation_dim(
                 segmentation_stack[t_point])
@@ -176,9 +184,10 @@ def process_site_extract_patches(site_path: str, site_segmentation_path: str,
             # device programs (same pipelining as pipeline/fused.py)
             def fetch_and_save(out=patch_out, kept=kept_cells, t=t_point,
                                path=stack_path):
-                save_pickle(
+                save_stack(
                     assemble_site_data(out, kept, site_supp_files_folder,
-                                       t, save_fig=save_fig), path)
+                                       t, save_fig=save_fig), path,
+                    storage=storage)
 
             writer.submit(fetch_and_save)
             cell_positions[t_point] = kept_cells
@@ -372,7 +381,8 @@ def extract_patches(raw_folder: str, supp_folder: str, sites: Sequence[str],
                 channels=config.patch.channels,
                 save_fig=config.patch.save_fig,
                 reload=config.patch.reload,
-                skip_boundary=config.patch.skip_boundary)
+                skip_boundary=config.patch.skip_boundary,
+                storage=getattr(config.patch, "storage", "pickle"))
 
 
 def build_trajectories(raw_folder: str, supp_folder: str,

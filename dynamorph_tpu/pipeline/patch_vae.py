@@ -18,6 +18,8 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
+from ..io.compact import (load_array_any, load_stack_any, save_array,
+                          storage_path)
 from ..io.pickles import load_pickle, save_pickle
 from ..io.sites import site_supp_folder, well_of
 from ..models.registry import get_model_cls
@@ -49,7 +51,7 @@ def prepare_dataset(dat_fs: Sequence[str], channels=None,
     tensors = {}
     for dat_f in dat_fs:
         log.info("loading data %s", dat_f)
-        file_dats = load_pickle(dat_f)
+        file_dats = load_stack_any(dat_f)
         for k, v in file_dats.items():
             dat = np.asarray(v[key])
             cs = np.arange(dat.shape[0]) if channels is None else np.asarray(channels)
@@ -76,17 +78,32 @@ def assemble_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
         "Sites should be from a single well/condition"
     well = well_of(sites[0])
 
+    storage = getattr(le, "storage", "pickle")
     dat_fs = []
     for site in sites:
         folder = site_supp_folder(supp_folder, site)
-        dat_fs.extend(os.path.join(folder, f) for f in sorted(os.listdir(folder))
-                      if f.startswith("stacks"))
+        # stacks may exist as .pkl (reference contract) and/or .npz
+        # (compact storage): dedupe by stem, preferring the configured
+        # storage's extension when both are present
+        stems: dict = {}
+        prefer_ext = ".npz" if storage == "compact" else ".pkl"
+        for f in sorted(os.listdir(folder)):
+            stem, ext = os.path.splitext(f)
+            if not f.startswith("stacks") or ext not in (".pkl", ".npz"):
+                continue
+            if stem not in stems or ext == prefer_ext:
+                stems[stem] = f
+        dat_fs.extend(os.path.join(folder, stems[s]) for s in sorted(stems))
 
     dataset, fs = prepare_dataset(dat_fs, channels=channels, key=patch_type)
     assert fs == sorted(fs)
 
     save_pickle(fs, os.path.join(raw_folder, f"{well}_file_paths.pkl"))
-    save_pickle(dataset, os.path.join(raw_folder, f"{well}_static_patches.pkl"))
+    save_array(dataset,
+               storage_path(
+                   os.path.join(raw_folder, f"{well}_static_patches.pkl"),
+                   storage),
+               storage=storage)
 
     well_supp = os.path.join(supp_folder, f"{well}-supps")
     relations, labels = generate_trajectory_relations(fs, sites, well_supp)
@@ -202,9 +219,10 @@ def _encode_fn(model, normalize):
 
 
 def load_well_inputs(raw_folder: str, well: str):
-    """Host-side inputs for one well's encode (prefetchable)."""
+    """Host-side inputs for one well's encode (prefetchable). Static patches
+    load from either the pickle or compact (.npz) format, whichever exists."""
     fs = load_pickle(os.path.join(raw_folder, f"{well}_file_paths.pkl"))
-    dataset = load_pickle(
+    dataset = load_array_any(
         os.path.join(raw_folder, f"{well}_static_patches.pkl"))
     return fs, dataset
 
@@ -271,12 +289,18 @@ def process_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
         with stage_timer("process_vae_encode", well=well, n=len(dataset)):
             z_b, z_a = encode_patches(model, params, state, dataset,
                                       batch_size, normalize="patch")
+        storage = getattr(le, "storage", "pickle")
         put = writer.submit if writer is not None \
-            else (lambda fn, *a: fn(*a))
-        put(save_pickle, z_b,
-            os.path.join(output_dir, f"{well}_latent_space.pkl"))
-        put(save_pickle, z_a,
-            os.path.join(output_dir, f"{well}_latent_space_after.pkl"))
+            else (lambda fn, *a, **kw: fn(*a, **kw))
+        put(save_array, z_b,
+            storage_path(os.path.join(output_dir,
+                                      f"{well}_latent_space.pkl"), storage),
+            storage=storage)
+        put(save_array, z_a,
+            storage_path(
+                os.path.join(output_dir, f"{well}_latent_space_after.pkl"),
+                storage),
+            storage=storage)
         if le.save_output:
             put(_save_recon_images, model, params, state, dataset,
                 output_dir)
@@ -294,10 +318,13 @@ def process_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
         mesh = local_mesh()
         h_s = model.encode_batched(params, state, dataset, out="z",
                                    batch_size=batch_size, mesh=mesh)
+        storage = getattr(le, "storage", "pickle")
         put = writer.submit if writer is not None \
-            else (lambda fn, *a: fn(*a))
-        put(save_pickle, h_s,
-            os.path.join(output_dir, f"{well}_latent_space.pkl"))
+            else (lambda fn, *a, **kw: fn(*a, **kw))
+        put(save_array, h_s,
+            storage_path(os.path.join(output_dir,
+                                      f"{well}_latent_space.pkl"), storage),
+            storage=storage)
     else:
         raise ValueError(f"Network {le.network} is not available")
     return {"output_dir": output_dir}
@@ -349,10 +376,10 @@ def combine_dataset(input_dataset_names: Sequence[str],
     separate_mask, separate_relations = [], []
     for n in input_dataset_names:
         separate_fs.append(load_pickle(n + "_file_paths.pkl"))
-        separate_dataset.append(load_pickle(n + "_static_patches.pkl"))
+        separate_dataset.append(load_array_any(n + "_static_patches.pkl"))
         separate_relations.append(load_pickle(n + "_static_patches_relations.pkl"))
         if save_mask:
-            separate_mask.append(load_pickle(n + "_static_patches_mask.pkl"))
+            separate_mask.append(load_array_any(n + "_static_patches_mask.pkl"))
         else:
             separate_mask.append([None] * len(separate_fs[-1]))
 

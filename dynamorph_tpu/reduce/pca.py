@@ -229,8 +229,11 @@ def process_pca(input_dir: str, output_dir: str, weights_dir: str,
     except Exception as ex:
         raise ValueError(f"Error in loading pre-saved PCA weights: {ex}")
 
+    from ..io.compact import load_array_any
+
     input_fname = f"{prefix}_latent_space{suffix}.pkl"
     output_fname = f"{prefix}_latent_space{suffix}_PCAed.pkl"
-    dats = load_pickle(os.path.join(input_dir, input_fname))
+    # latents may be pickle or compact npz (io/compact.py)
+    dats = load_array_any(os.path.join(input_dir, input_fname))
     dats_ = pca.transform(dats)
     save_pickle(dats_, os.path.join(output_dir, output_fname))

@@ -106,7 +106,10 @@ def umap_transform(input_dir: str, output_dir: str, weights_dir: str,
             # crashing on list.transform
             log.warning("skipping %s: not a fitted UMAP model", fname)
             continue
-        dats = load_pickle(os.path.join(
+        from ..io.compact import load_array_any
+
+        # latents may be pickle or compact npz (io/compact.py)
+        dats = load_array_any(os.path.join(
             input_dir, f"{prefix}_latent_space{suffix}.pkl"))
         dats_ = model.transform(dats)
         save_pickle(dats_, os.path.join(
