@@ -66,6 +66,10 @@ class PatchConfig:
     # sites processed concurrently by the fused stage, one per local
     # device (None = min(local devices, sites))
     fused_site_parallelism: Optional[int] = None
+    # host threads clustering frames ahead of the consume point in the
+    # fused stage (None = min(3, cpu_count)); HBM holds cluster_workers+1
+    # frames' residents. Labels are identical for any value.
+    cluster_workers: Optional[int] = None
     # dynamorph_tpu extension: "pickle" = reference byte-compatible float64
     # pickles (default); "compact" = float32 .npz stacks (io/compact.py) —
     # ~4x smaller + faster to deserialize, exact for patch values. Readers

@@ -40,7 +40,8 @@ def load_native(src: str, lib_path: str,
                 os.path.getmtime(lib_path) < os.path.getmtime(src):
             try:
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", lib_path, src],
+                    ["g++", "-O3", "-shared", "-fPIC", "-pthread",
+                     "-o", lib_path, src],
                     check=True, capture_output=True)
             except Exception as e:
                 if os.path.exists(lib_path):

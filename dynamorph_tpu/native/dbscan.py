@@ -28,6 +28,17 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_double, ctypes.c_int32,
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
     ]
+    try:  # stale pre-rebuild binary without the threaded entry still works
+        lib.grid_dbscan_mt.restype = ctypes.c_int
+        lib.grid_dbscan_mt.argtypes = [
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
+        lib._has_mt = True
+    except AttributeError:
+        lib._has_mt = False
 
 
 def _load():
@@ -41,7 +52,8 @@ def native_dbscan_available() -> bool:
 
 
 def grid_dbscan(positions: np.ndarray, eps: float, min_samples: int,
-                shape: Optional[Tuple[int, int]] = None) -> np.ndarray:
+                shape: Optional[Tuple[int, int]] = None,
+                threads: Optional[int] = None) -> np.ndarray:
     """DBSCAN labels for UNIQUE integer (y, x) points.
 
     The occupancy grid keeps one index per pixel, so duplicate points would
@@ -49,6 +61,11 @@ def grid_dbscan(positions: np.ndarray, eps: float, min_samples: int,
     spurious singletons); duplicates are detected and routed to the sklearn
     fallback instead. Falls back to sklearn too when the native library is
     unavailable.
+
+    ``threads`` splits the per-point core test across host threads (labels
+    are bit-identical for any count — see grid_dbscan.cpp); default
+    min(8, cpu_count). The whole native call releases the GIL, so callers
+    can additionally parallelize across frames.
     """
     positions = np.ascontiguousarray(positions, dtype=np.int32)
     n = len(positions)
@@ -70,8 +87,14 @@ def grid_dbscan(positions: np.ndarray, eps: float, min_samples: int,
         return DBSCAN(eps=eps, min_samples=min_samples).fit(
             positions).labels_.astype(np.int32)
     labels = np.empty(n, np.int32)
-    rc = lib.grid_dbscan(positions, n, shape[0], shape[1], float(eps),
-                         int(min_samples), labels)
+    if threads is None:
+        threads = min(8, os.cpu_count() or 1)
+    if getattr(lib, "_has_mt", False):
+        rc = lib.grid_dbscan_mt(positions, n, shape[0], shape[1], float(eps),
+                                int(min_samples), int(threads), labels)
+    else:
+        rc = lib.grid_dbscan(positions, n, shape[0], shape[1], float(eps),
+                             int(min_samples), labels)
     if rc != 0:
         from sklearn.cluster import DBSCAN
 

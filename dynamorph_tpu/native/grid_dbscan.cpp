@@ -19,18 +19,30 @@
 //   int grid_dbscan(const int32_t* pos, int64_t n, int32_t height,
 //                   int32_t width, double eps, int32_t min_samples,
 //                   int32_t* labels_out)
+//   int grid_dbscan_mt(..., int32_t n_threads, int32_t* labels_out)
 // pos is (n, 2) row-major (y, x). Returns 0 on success.
 //
-// Build: g++ -O3 -shared -fPIC -o libgrid_dbscan.so grid_dbscan.cpp
+// The core test (count eps-neighbors per point) is per-point independent,
+// so grid_dbscan_mt splits it over n_threads; the component-growing DFS
+// stays serial, preserving sklearn's exact cluster numbering and border
+// assignment. Labels are bit-identical for any thread count. The core test
+// and the DFS each touch every (point, stencil-offset) pair once, so the
+// parallel fraction is roughly the core test's share (~half at frame
+// scale) — threads buy up to ~2x; frame-level parallelism on top comes
+// from the callers (ctypes releases the GIL during this call).
+//
+// Build: g++ -O3 -shared -fPIC -pthread -o libgrid_dbscan.so grid_dbscan.cpp
 
 #include <cmath>
 #include <cstdint>
+#include <thread>
 #include <vector>
 
 extern "C" {
 
-int grid_dbscan(const int32_t* pos, int64_t n, int32_t height, int32_t width,
-                double eps, int32_t min_samples, int32_t* labels_out) {
+int grid_dbscan_mt(const int32_t* pos, int64_t n, int32_t height,
+                   int32_t width, double eps, int32_t min_samples,
+                   int32_t n_threads, int32_t* labels_out) {
     if (n <= 0 || height <= 0 || width <= 0) return 1;
 
     // disk stencil offsets (dy, dx) with dy^2 + dx^2 <= eps^2
@@ -54,17 +66,37 @@ int grid_dbscan(const int32_t* pos, int64_t n, int32_t height, int32_t width,
         grid[(size_t)y * width + x] = i + 1;
     }
 
-    // core test: neighbors within eps (incl. self) >= min_samples
+    // core test: neighbors within eps (incl. self) >= min_samples.
+    // Per-point independent -> contiguous ranges per thread; the shared
+    // grid/offs are read-only here, is_core writes are disjoint.
     std::vector<uint8_t> is_core(n, 0);
-    for (int64_t i = 0; i < n; ++i) {
-        int32_t y = pos[2 * i], x = pos[2 * i + 1];
-        int count = 0;
-        for (int k = 0; k < n_offs; ++k) {
-            int32_t yy = y + offs[2 * k], xx = x + offs[2 * k + 1];
-            if (yy < 0 || yy >= height || xx < 0 || xx >= width) continue;
-            if (grid[(size_t)yy * width + xx]) ++count;
+    auto core_range = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            int32_t y = pos[2 * i], x = pos[2 * i + 1];
+            int count = 0;
+            for (int k = 0; k < n_offs; ++k) {
+                int32_t yy = y + offs[2 * k], xx = x + offs[2 * k + 1];
+                if (yy < 0 || yy >= height || xx < 0 || xx >= width) continue;
+                if (grid[(size_t)yy * width + xx]) ++count;
+            }
+            if (count >= min_samples) is_core[i] = 1;
         }
-        if (count >= min_samples) is_core[i] = 1;
+    };
+    int nt = n_threads < 1 ? 1 : (n_threads > 64 ? 64 : n_threads);
+    if ((int64_t)nt > n) nt = (int)n;
+    if (nt <= 1 || n < 8192) {
+        core_range(0, n);
+    } else {
+        std::vector<std::thread> pool;
+        pool.reserve(nt);
+        const int64_t chunk = (n + nt - 1) / nt;
+        for (int t = 0; t < nt; ++t) {
+            int64_t lo = (int64_t)t * chunk;
+            int64_t hi = lo + chunk < n ? lo + chunk : n;
+            if (lo >= hi) break;
+            pool.emplace_back(core_range, lo, hi);
+        }
+        for (auto& th : pool) th.join();
     }
 
     // sklearn dbscan_inner: DFS from each unlabeled core point in order
@@ -97,6 +129,12 @@ int grid_dbscan(const int32_t* pos, int64_t n, int32_t height, int32_t width,
         ++label_num;
     }
     return 0;
+}
+
+int grid_dbscan(const int32_t* pos, int64_t n, int32_t height, int32_t width,
+                double eps, int32_t min_samples, int32_t* labels_out) {
+    return grid_dbscan_mt(pos, n, height, width, eps, min_samples, 1,
+                          labels_out);
 }
 
 }  // extern "C"

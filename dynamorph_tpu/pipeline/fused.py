@@ -22,11 +22,14 @@ Per frame, this stage:
 5. runs the fused window/mask/fill patch program (ops/patch.py) and
    downloads only the final patches.
 
-The loop is software-pipelined: frame t+1's upload + U-Net dispatch
-happen before frame t's host work (``lookahead=True``), and frame t's
-patch-bucket download, pickle assembly and probability-map fetch all
-drain on the bounded writer thread — so the main thread's steady-state
-cost is DBSCAN plus dispatches, with transfers overlapped both ways.
+The loop is software-pipelined: uploads + U-Net dispatches for the next
+``cluster_workers`` frames are enqueued ahead of the consume point
+(``lookahead=True``), their DBSCAN runs on a host thread pool (the native
+solver releases the GIL, and its core test is itself multithreaded —
+native/grid_dbscan.cpp), and frame t's patch-bucket download, pickle
+assembly and probability-map fetch all drain on the bounded writer
+thread — so on a multi-core host the main thread's steady-state cost is
+just dispatches, with clustering and transfers overlapped both ways.
 
 Outputs are the same artifacts as the three staged stages: per-site
 ``cell_positions.pkl``, ``cell_pixel_assignments.pkl``, instance-map PNGs,
@@ -145,7 +148,8 @@ def process_site_seg_patch_fused(
         dbscan_thr: Tuple[int, int] = (10, 250),
         save_probabilities: bool = True,
         out_prob_path: Optional[str] = None, device=None,
-        lookahead: bool = True, storage: str = "pickle") -> None:
+        lookahead: bool = True, storage: str = "pickle",
+        cluster_workers: Optional[int] = None) -> None:
     """Segment + cluster + extract patches for one site with the frame and
     probability map resident in HBM throughout (see module docstring).
 
@@ -159,6 +163,15 @@ def process_site_seg_patch_fused(
     ``lookahead``: enqueue frame t+1's upload + U-Net before the host work
     on frame t (software pipelining; holds two frames' HBM residents).
     Disable only if a frame's residents don't fit HBM twice.
+
+    ``cluster_workers``: host threads running DBSCAN on frames ahead of the
+    consume point (the native solver releases the GIL, so frames genuinely
+    cluster in parallel on multi-core hosts — the TPU-native answer to the
+    reference's per-t serial loop, instance_clustering.py:170-177). Results
+    are consumed in frame order, so every artifact is identical for any
+    value. HBM holds ``cluster_workers + 1`` frames' residents. Default
+    min(3, cpu_count); ignored (inline clustering) when ``lookahead`` is
+    off.
     """
     import jax
     import jax.numpy as jnp
@@ -192,30 +205,49 @@ def process_site_seg_patch_fused(
         raw_u16 = np.ascontiguousarray(image_stack[t_point, :, 0])
         return seg_frame(params, state, put(raw_u16))
 
+    def host_cluster(packed):
+        # unpack the bitmask -> row-major foreground coords (same order as
+        # np.where in the staged path) -> DBSCAN + filters; runs on a
+        # cluster-pool thread (device->host fetch of the packed mask and
+        # the GIL-free native DBSCAN both overlap other frames)
+        fg = np.unpackbits(np.asarray(packed), axis=1,
+                           bitorder="little").astype(bool)[:, :y_size]
+        positions = np.argwhere(fg)
+        return cluster_foreground_positions(
+            positions, (x_size, y_size), ct_thr=ct_thr,
+            instance_map=False, dbscan_thr=dbscan_thr)
+
+    if cluster_workers is None:
+        cluster_workers = max(1, min(3, os.cpu_count() or 1))
+    # frames in flight beyond the one being consumed: their uploads + U-Net
+    # dispatches are enqueued (FIFO device queue) and their clustering runs
+    # on the pool. lookahead=False keeps the strictly serial schedule.
+    window = max(1, int(cluster_workers)) if lookahead else 0
+
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    cluster_pool = ThreadPoolExecutor(max_workers=window) if window else None
+    inflight = deque()
+
+    def enqueue(t):
+        raw_f, probs, packed = dispatch_seg(t)
+        fut = cluster_pool.submit(host_cluster, packed) if cluster_pool \
+            else None
+        inflight.append((t, raw_f, probs, packed, fut))
+
     writer = AsyncWriter(depth=2)
     try:
-        pending = None
-        for t_point in range(n_frames):
-            raw_f, probs, packed = (pending if pending is not None
-                                    else dispatch_seg(t_point))
-            # one-frame lookahead: enqueue frame t+1's upload + U-Net before
-            # any host work on frame t, so the device segments t+1 while the
-            # host runs DBSCAN and drains t's patch downloads (the device
-            # queue is FIFO; holding two frames' residents is ~100 MB)
-            pending = dispatch_seg(t_point + 1) \
-                if (lookahead and t_point + 1 < n_frames) else None
-
-            # host: unpack the bitmask -> row-major foreground coords (same
-            # order as np.where in the staged path) -> DBSCAN + filters
-            fg = np.unpackbits(np.asarray(packed), axis=1,
-                               bitorder="little").astype(bool)[:, :y_size]
-            positions = np.argwhere(fg)
+        next_t = 0
+        while next_t < n_frames or inflight:
+            while next_t < n_frames and len(inflight) < window + 1:
+                enqueue(next_t)
+                next_t += 1
+            t_point, raw_f, probs, packed, fut = inflight.popleft()
+            res = fut.result() if fut is not None else host_cluster(packed)
+            all_cells, positions, positions_labels = res
             map_path = os.path.join(site_supp_files_folder,
                                     "segmentation_%d.png" % t_point)
-            res = cluster_foreground_positions(
-                positions, (x_size, y_size), ct_thr=ct_thr,
-                instance_map=False, dbscan_thr=dbscan_thr)
-            all_cells, positions, positions_labels = res
             cell_pixel_assignments[t_point] = (positions, positions_labels)
             # instance-map PNG renders on the writer thread (OO matplotlib,
             # no pyplot globals) while the next frame runs on device; the
@@ -272,6 +304,8 @@ def process_site_seg_patch_fused(
 
     finally:
         writer.close()
+        if cluster_pool is not None:
+            cluster_pool.shutdown(wait=True)
 
     if prob_frames is not None:
         from ..seg.data import plot_prediction_prob
@@ -352,6 +386,8 @@ def seg_patch_fused(raw_folder: str, supp_folder: str,
                      site)
             return
         os.makedirs(supp, exist_ok=True)
+        kwargs.setdefault("cluster_workers",
+                          getattr(config.patch, "cluster_workers", None))
         try:
             with stage_timer("seg_patch_fused", site=site):
                 process_site_seg_patch_fused(

@@ -166,6 +166,35 @@ def test_fused_lookahead_off_matches_on(tmp_path):
                                           b[k]["masked_mat"])
 
 
+def test_fused_cluster_workers_matches_serial(tmp_path):
+    """cluster_workers=3 (frames clustering in parallel on the host pool,
+    consumed in frame order) produces bit-identical artifacts to the
+    strictly serial schedule — parallel clustering is pure scheduling."""
+    site_par = _make_site(tmp_path / "par", "C5-Site_0")
+    site_ser = _make_site(tmp_path / "ser", "C5-Site_0")
+    supp_par = str(tmp_path / "par" / "supp")
+    supp_ser = str(tmp_path / "ser" / "supp")
+    os.makedirs(supp_par), os.makedirs(supp_ser)
+    prob_par = _run_fused(site_par, supp_par, lookahead=True,
+                          cluster_workers=3)
+    prob_ser = _run_fused(site_ser, supp_ser, lookahead=False)
+    np.testing.assert_array_equal(np.load(prob_par), np.load(prob_ser))
+    for name in ("cell_positions.pkl", "cell_pixel_assignments.pkl"):
+        a = load_pickle(os.path.join(supp_par, name))
+        b = load_pickle(os.path.join(supp_ser, name))
+        assert repr(a) == repr(b)
+    cp = load_pickle(os.path.join(supp_par, "cell_positions.pkl"))
+    assert any(len(v) for v in cp.values())
+    for t in range(3):
+        a = _stack_by_basename(supp_par, t)
+        b = _stack_by_basename(supp_ser, t)
+        assert a.keys() == b.keys() and len(a) > 0
+        for k in a:
+            np.testing.assert_array_equal(a[k]["mat"], b[k]["mat"])
+            np.testing.assert_array_equal(a[k]["masked_mat"],
+                                          b[k]["masked_mat"])
+
+
 def test_fused_skip_boundary_and_no_probs(tmp_path):
     """skip_boundary drops window-crossing cells like the staged path, and
     save_probabilities=False suppresses the NNProbabilities download."""

@@ -56,6 +56,18 @@ def test_grid_dbscan_duplicate_points_match_sklearn(rng):
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.parametrize("threads", [2, 4, 8])
+def test_grid_dbscan_threaded_labels_identical(rng, threads):
+    """The multithreaded core test (grid_dbscan_mt) must produce labels
+    bit-identical to the serial solver for any thread count — the core test
+    is per-point independent and the component DFS stays serial."""
+    positions = _fg_positions(rng, size=1024, n_cells=20, r=24, noise=3000)
+    assert len(positions) > 8192  # above the serial small-n cutoff
+    serial = grid_dbscan(positions, eps=10, min_samples=250, threads=1)
+    multi = grid_dbscan(positions, eps=10, min_samples=250, threads=threads)
+    np.testing.assert_array_equal(serial, multi)
+
+
 def test_grid_dbscan_speed(rng):
     from sklearn.cluster import DBSCAN
 
