@@ -103,7 +103,12 @@ class Segment:
             (loss, new_state), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, state, x, y)
             if self.freeze_encoder:
-                enc_keys = {"stem", "layer1", "layer2", "layer3", "layer4"}
+                from ..models.unet_keras import (KerasUNet,
+                                                 encoder_layer_names)
+
+                enc_keys = set(encoder_layer_names()) \
+                    if isinstance(self.net, KerasUNet) \
+                    else {"stem", "layer1", "layer2", "layer3", "layer4"}
                 grads = {k: (jax.tree_util.tree_map(jnp.zeros_like, v)
                              if k in enc_keys else v)
                          for k, v in grads.items()}
@@ -298,6 +303,25 @@ class Segment:
         save_checkpoint(path, {"params": self.params, "state": self.state})
 
     def load(self, path: str) -> None:
+        """Load weights: orbax checkpoints (native), or reference-trained
+        Keras ``.h5``/``.hdf5`` weight files (NNsegmentation/models.py:
+        200-202) — the latter switch the network to the Keras-architecture
+        U-Net (models/unet_keras.py) and import weight-for-weight via
+        seg/keras_import.py, so reference users' trained segmentation
+        models migrate without retraining."""
+        from .keras_import import is_keras_weight_file
+
+        if is_keras_weight_file(path):
+            from ..models.unet_keras import KerasUNet
+            from .keras_import import import_keras_unet
+
+            self.net = KerasUNet(n_channels=self.n_channels,
+                                 n_classes=self.n_classes)
+            self.params, self.state = import_keras_unet(
+                path, n_channels=self.n_channels, n_classes=self.n_classes)
+            # retrace against the new network/pytree structure
+            self._predict_fn = jax.jit(self._predict_impl)
+            return
         ck = restore_checkpoint(path)
         self.params, self.state = ck["params"], ck["state"]
 
