@@ -277,3 +277,110 @@ def test_multislice_tiled_predict_shapes(tmp_path, rng):
     # (T - (slices-1), n_classes, 1, X_full, Y_full)
     assert out.shape == (2, 3, 1, 128, 128)
     np.testing.assert_allclose(out.sum(1), 1.0, rtol=1e-4)
+
+
+# -- 2.5-D SplitSlice/MergeSlices golden parity -----------------------------
+# Numpy oracles transcribing the reference's reshape layers EXACTLY
+# (NNsegmentation/layers.py:18-48 and :51-86): SplitSlice permutes
+# (B, C, Z, X, Y) -> (B, Z, C, X, Y) then folds Z into batch; MergeSlices
+# unfolds (B*Z, F, X, Y) -> (B, Z, F, X, Y) and flattens Z into channels.
+
+def split_slice_np(x, n_channels, x_size, y_size):
+    _x = np.transpose(x, (0, 2, 1, 3, 4))
+    return _x.reshape(-1, n_channels, x_size, y_size)
+
+
+def merge_slices_np(x, n_slice, n_channel):
+    b = x.shape[0] // n_slice
+    _x = x.reshape(b, n_slice, n_channel, x.shape[2], x.shape[3])
+    return _x.reshape(b, n_slice * n_channel, x.shape[2], x.shape[3])
+
+
+def test_split_merge_slice_oracle_semantics():
+    """Slot-tagged values pin WHERE each (b, c, z) element lands:
+    split -> out[b*Z + z, c] == in[b, c, z];
+    merge -> out[b, z*F + f] == in[b*Z + z, f]."""
+    B, C, Z, X, Y = 2, 3, 4, 2, 2
+    x = np.zeros((B, C, Z, X, Y))
+    for b in range(B):
+        for c in range(C):
+            for z in range(Z):
+                x[b, c, z] = 100 * b + 10 * c + z
+    s = split_slice_np(x, C, X, Y)
+    assert s.shape == (B * Z, C, X, Y)
+    for b in range(B):
+        for z in range(Z):
+            for c in range(C):
+                assert np.all(s[b * Z + z, c] == 100 * b + 10 * c + z)
+    F = 5
+    f_in = np.zeros((B * Z, F, X, Y))
+    for r in range(B * Z):
+        for f in range(F):
+            f_in[r, f] = 100 * r + f
+    m = merge_slices_np(f_in, Z, F)
+    assert m.shape == (B, Z * F, X, Y)
+    for b in range(B):
+        for z in range(Z):
+            for f in range(F):
+                assert np.all(m[b, z * F + f] == 100 * (b * Z + z) + f)
+
+
+def test_multislice_model_matches_slice_oracle(rng):
+    """SegmentWithMultipleSlice's folded forward must equal the reference
+    graph computed explicitly: SplitSlice oracle -> the model's own U-Net on
+    the flat batch -> MergeSlices oracle -> post_conv(1x1, relu) ->
+    pred_head(1x1) (reference models.py:227-253). Catches any silent Z/C
+    transposition in the folding."""
+    from dynamorph_tpu.seg.model import SegmentWithMultipleSlice
+
+    C, Z, XS, F = 2, 3, 32, 8
+    model = SegmentWithMultipleSlice(input_shape=(C, Z, XS, XS),
+                                     n_classes=3, unet_feat=F)
+    x = rng.rand(2, C, Z, XS, XS).astype(np.float32)
+    got, _ = model._apply_logits(model.params, model.state,
+                                 jnp.asarray(x), train=False)
+
+    flat = split_slice_np(x, C, XS, XS)                     # (B*Z, C, X, Y)
+    feats, _ = model.net.apply(model.params, model.state,
+                               jnp.asarray(flat), train=False)
+    merged = merge_slices_np(np.asarray(feats), Z, F)       # (B, Z*F, X, Y)
+
+    def conv1x1(p, h):
+        k = np.asarray(p["kernel"])[0, 0]                   # (in, out)
+        out = np.einsum("bixy,io->boxy", h, k)
+        if "bias" in p:
+            out = out + np.asarray(p["bias"])[None, :, None, None]
+        return out
+
+    h = np.maximum(conv1x1(model.params["post_conv"], merged), 0.0)
+    want = conv1x1(model.params["pred_head"], h)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_multislice_fit_predict_end_to_end(tmp_path, rng):
+    """Seeded 2.5-D fit + predict: loss decreases on a synthetic multislice
+    set whose signal lives in ONE slice, and predict returns normalized
+    probabilities (reference multislice training path, models.py:206-258)."""
+    from dynamorph_tpu.seg.model import SegmentWithMultipleSlice
+
+    C, Z, XS = 2, 3, 32
+    patches = []
+    for i in range(8):
+        x = rng.rand(C, Z, XS, XS).astype(np.float32) * 0.1 * 65535
+        lab = np.zeros((3, 1, XS, XS), np.float32)
+        blob = np.zeros((XS, XS), bool)
+        cy, cx = rng.randint(8, XS - 8, 2)
+        yy, xx = np.mgrid[:XS, :XS]
+        blob = (yy - cy) ** 2 + (xx - cx) ** 2 < 6 ** 2
+        x[0, 1][blob] = 0.9 * 65535                # signal only in slice 1
+        lab[1, 0][blob] = 1.0
+        lab[0, 0][~blob] = 1.0
+        patches.append((x, lab))
+    model = SegmentWithMultipleSlice(input_shape=(C, Z, XS, XS),
+                                     n_classes=3, unet_feat=8,
+                                     model_path=str(tmp_path))
+    hist = model.fit(patches, batch_size=4, n_epochs=3)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    probs = model.predict(np.stack([p[0] for p in patches[:2]]) / 65535.0)
+    assert probs.shape == (2, 3, 1, XS, XS)
+    np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-4)
