@@ -222,6 +222,43 @@ class IWAEModel(VAEModel):
         }
         return None, losses, {"enc": enc_ns}
 
+    def log_likelihood_bound(self, params, state, inputs, key,
+                             batch_mask=None):
+        """Monte-Carlo importance-weighted log-likelihood bound
+        ``L_k = mean_B [logsumexp_k log w - log k]`` (Burda et al. 2016,
+        eq. 8) with the eval-mode encoder. For iid weight draws E[L_k] is
+        non-decreasing in k and L_1 is the single-sample VAE ELBO estimator.
+        The training objective in ``apply`` is the gradient-friendly
+        normalized-weight form (reference vae.py:664-676), NOT this bound;
+        use this method for model comparison / bound-tightening checks.
+        Uses the same (unnormalized) log-density conventions as ``apply`` so
+        values are comparable across k for a fixed model."""
+        x = nchw_to_nhwc(inputs)
+        mask = (nchw_to_nhwc(batch_mask) if batch_mask is not None
+                else jnp.ones_like(x))
+        z, _ = _apply_z16_encoder(params["enc"], state["enc"], x, train=False)
+        nh = self.num_hiddens
+        z_mean, z_logstd = z[..., :nh], z[..., nh:]
+        z_std = jnp.exp(0.5 * z_logstd)
+        cv = self._channel_var()
+
+        def one_sample(eps):
+            zs = z_mean + z_std * eps
+            decoded = _apply_z16_decoder(params["dec"], zs)
+            log_p_x_z = -jnp.sum(
+                ((decoded * mask - x * mask) ** 2) / cv, axis=(1, 2, 3))
+            log_p_z = -jnp.sum(0.5 * zs ** 2, axis=(1, 2, 3))
+            log_q_z_x = -jnp.sum(0.5 * eps ** 2 + z_logstd, axis=(1, 2, 3))
+            return log_p_x_z + log_p_z - log_q_z_x
+
+        keys = jax.random.split(key, self.k)
+        epss = jax.vmap(lambda k_i: jax.random.normal(
+            k_i, z_std.shape, z_std.dtype))(keys)
+        log_ws = jax.vmap(one_sample)(epss)            # (k, B)
+        from jax.scipy.special import logsumexp
+
+        return jnp.mean(logsumexp(log_ws, axis=0) - jnp.log(float(self.k)))
+
 
 @dataclasses.dataclass(frozen=True)
 class AAEModel:

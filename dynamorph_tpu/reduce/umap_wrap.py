@@ -7,6 +7,25 @@ pickled for transform, run_dim_reduction.py:255-256); same here.
 
 umap-learn is an optional dependency; calls raise a clear ImportError when it
 is unavailable in the environment.
+
+Version pin + API surface (umap-learn is absent in the offline build/test
+environment, so this module is exercised against a stub in tests/test_umap.py;
+record here EXACTLY what the real package must provide):
+
+- Pin: ``umap-learn>=0.5.1`` — the reference's own requirement
+  (reference requirements/default.txt:16); the fit-only contract exists
+  BECAUSE 0.5+ models aren't reliably picklable for later transform
+  (reference run_dim_reduction.py:255-256).
+- Constructor: ``umap.UMAP(a=<float>, b=<float>, n_neighbors=<int>)`` —
+  keyword-only use; ``a``/``b`` are the curve parameters (both or neither
+  must be given to umap-learn, which this module guarantees by iterating
+  ``zip(a_s, b_s)``), stable in 0.5.x.
+- Methods: ``UMAP.fit_transform(X: (N, D) float array) -> (N, 2) float
+  array`` and, for pre-0.5 model pickles fed to ``umap_transform``,
+  ``UMAP.transform(X) -> (N, 2)``.
+
+Nothing else of the package is touched, so any 0.5.x release satisfies the
+contract; re-validate the ``a``/``b`` kwarg handling if moving to 0.6+.
 """
 from __future__ import annotations
 

@@ -150,8 +150,16 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
         traj_ids = SL.trajectory_ids_from_relations(relation_mat, n)
         model = _dc.replace(
             model, tm_loss_fn=SL.make_traj_sharded_tm_loss(mesh))
-    train_step = make_train_step(model, optimizer, mesh=mesh, augment=transform)
-    eval_step = make_eval_step(model, mesh=mesh)
+    # VAE/IWAE draw reparameterisation noise inside apply (models/vae.py:121,
+    # 173 — reference vae.py:528,641 use torch's global RNG); their apply
+    # signatures take an explicit PRNG key, detected here so one trainer
+    # serves the whole network registry (reference run_training.py:885-897).
+    import inspect
+
+    needs_key = "key" in inspect.signature(model.apply).parameters
+    train_step = make_train_step(model, optimizer, mesh=mesh,
+                                 augment=transform, needs_key=needs_key)
+    eval_step = make_eval_step(model, mesh=mesh, needs_key=needs_key)
 
     from ..core.mesh import is_main_process, is_multiprocess
 

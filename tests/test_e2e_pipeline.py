@@ -274,6 +274,44 @@ def test_run_training_cli_vae_network_and_precision(tmp_path, rng,
     assert models[1].vq_train_precision == "highest"
 
 
+def test_run_training_cli_vae_trains_real(tmp_path, rng):
+    """`network: VAE` drives an ACTUAL training epoch through the CLI (no
+    monkeypatching): the stochastic reparam path runs under jit with the
+    8-device mesh + trajectory-sharded time-matching loss, producing a
+    checkpoint and finite metrics (reference run_training.py:885-947)."""
+    import json
+
+    import yaml
+
+    from dynamorph_tpu.cli import run_training as cli_train
+
+    raw = tmp_path / "raw"
+    weights = tmp_path / "weights"
+    raw.mkdir()
+    _write_training_pickles(raw, rng, n_traj=8)
+
+    cfg = {"training": {
+        "network": "VAE",
+        "raw_dirs": [str(raw)], "supp_dirs": [str(raw)],
+        "weights_dirs": [str(weights)],
+        "num_inputs": 2, "num_hiddens": 8, "num_residual_hiddens": 8,
+        "n_epochs": 1, "batch_size": 8, "val_split_ratio": 0.15,
+        "patience": 10,
+    }}
+    p = tmp_path / "cfg_vae.yml"
+    p.write_text(yaml.safe_dump(cfg))
+    cli_train.main(str(p))
+
+    model_dir = weights / "model"
+    assert (model_dir / "model_ckpt").exists()
+    lines = [json.loads(l) for l in
+             (model_dir / "metrics.jsonl").read_text().splitlines()]
+    totals = [r["Loss/total_loss"] for r in lines if "Loss/total_loss" in r]
+    klds = [r["Loss/KLD"] for r in lines if "Loss/KLD" in r]
+    assert totals and all(np.isfinite(t) for t in totals)
+    assert klds and all(np.isfinite(k) for k in klds)
+
+
 def test_run_training_cli_vqvae_start_from_torch_pt(tmp_path, rng,
                                                     monkeypatch):
     """start_model_path may be a reference-format torch model.pt — the CLI
