@@ -90,8 +90,11 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
     Multi-host: when ``mesh`` spans multiple processes (after
     ``core.mesh.init_multihost()``), every process must call this function
     with the SAME arguments (dataset/relations replicated host-side — these
-    are small; batches feed through ``core.mesh.put_global`` so each process
-    materialises only its local shards). Checkpoint/metrics writes happen on
+    are small; each process materialises only its local devices' shards).
+    With ``shuffle_data=False`` the dataset rows additionally stay
+    device-RESIDENT per shard (uploaded once in batch-pool order, gathered
+    per step by a shard_map-local take — see the resident_mp block); with
+    shuffling, batches stream through ``core.mesh.put_global``. Checkpoint/metrics writes happen on
     process 0 only; loss scalars are replicated so control flow (early
     stopping, epoch order) stays in lockstep. Verified 2-process x 4-device
     == 1-process x 8-device in tests/test_multihost.py.
@@ -220,11 +223,65 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
                 data_utils.slice_mask(mask, np.arange(len(mask))))
         take = jax.jit(lambda a, b: jnp.take(a, b, axis=0))
 
-    def load_batch(i_and_ids):
+    # Device-resident feed (multi-process): batch composition is static
+    # when shuffle_data is off (the relation-matrix path, reference
+    # run_training.py:471-472), so every batch's per-shard chunk is known
+    # up-front. Rows are uploaded ONCE in "pool" order — device s holds,
+    # contiguously, chunk s of every (trajectory-packed) batch — and each
+    # step gathers its chunk with a shard_map-local jnp.take: shard-aligned
+    # batches need NO cross-process collective, and the per-step host->
+    # device traffic drops to the uint8 relation block plus one int32
+    # index vector (VERDICT r3 item 3; feed semantics of reference
+    # run_training.py:455-551). Values are identical to the streamed feed
+    # because the pool layout equals put_global's contiguous-chunk split.
+    resident_mp = (multiproc and not shuffle_data
+                   and dataset.nbytes <= _DEVICE_RESIDENT_BUDGET)
+    if resident_mp:
+        S = mesh.shape["data"]
+        chunk = batch_size // S
+        packed = []
+        for ids, n_b in ((train_ids, n_batches), (val_ids, n_val_batches)):
+            for i in range(n_b):
+                bids = ids[i * batch_size:(i + 1) * batch_size]
+                if traj_sharded_loss:
+                    from . import sharded_loss as SL
+
+                    bids = SL.pack_trajectories(bids, traj_ids, n_shards)
+                packed.append(np.asarray(bids, dtype=np.int64))
+        if not packed:
+            resident_mp = False
+        else:
+            order = np.stack(packed)                      # (nB, batch_size)
+            pool_ids = (order.reshape(len(packed), S, chunk)
+                        .transpose(1, 0, 2).reshape(-1))  # shard-major
+            data_sh = batch_sharding(mesh, dataset.ndim)
+
+            def _pool_cb(src):
+                # each process materialises only its local shards' rows
+                return lambda idx: src[pool_ids[idx[0]]]
+
+            pool = jax.make_array_from_callback(
+                (len(pool_ids),) + dataset.shape[1:], data_sh,
+                _pool_cb(dataset))
+            mask_pool = None
+            if mask is not None:
+                mfull = data_utils.slice_mask(mask, np.arange(len(mask)))
+                mask_pool = jax.make_array_from_callback(
+                    (len(pool_ids),) + mfull.shape[1:],
+                    batch_sharding(mesh, mfull.ndim), _pool_cb(mfull))
+
+            def _local_take(d, idx):
+                return jnp.take(d, idx, axis=0)
+
+            _mp_gather = jax.jit(jax.shard_map(
+                _local_take, mesh=mesh,
+                in_specs=(P("data"), P()), out_specs=P("data")))
+
+    def load_batch(item):
         """Host batch assembly (relation slice + fancy-index copy) and the
         host->device transfer enqueue. Runs in a prefetch thread so the next
         batch's feed overlaps the current device step."""
-        _, bids = i_and_ids
+        i, bids, base = item
         if traj_sharded_loss:
             from . import sharded_loss as SL
 
@@ -232,7 +289,16 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
             rel = SL.blockdiag_relations(relation_mat, bids, n_shards)
         else:
             rel = data_utils.slice_relation_mat(relation_mat, bids)
-        if multiproc:
+        if resident_mp:
+            k = base + i
+            idx = put_global(
+                np.arange(k * chunk, (k + 1) * chunk, dtype=np.int32),
+                replicated_sharding(mesh))
+            batch = _mp_gather(pool, idx)
+            bmask = (_mp_gather(mask_pool, idx)
+                     if mask_pool is not None else None)
+            rel = put_global(rel, rel_sharding) if rel is not None else None
+        elif multiproc:
             bmask = data_utils.slice_mask(mask, bids)
             batch = put_global(dataset[bids], batch_sharding(mesh, dataset.ndim))
             rel = put_global(rel, rel_sharding) if rel is not None else None
@@ -250,7 +316,7 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
             bmask = jnp.asarray(bmask) if bmask is not None else None
         return batch, rel, bmask
 
-    def run_epoch(ids, n_b, training, epoch_key):
+    def run_epoch(ids, n_b, training, epoch_key, ordinal_base=0):
         nonlocal params, state, opt_state
         from ..io.prefetch import Prefetcher
 
@@ -260,9 +326,9 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
         # dispatch pipeline.
         totals = None
         feed = Prefetcher(
-            [(i, ids[i * batch_size: (i + 1) * batch_size])
+            [(i, ids[i * batch_size: (i + 1) * batch_size], ordinal_base)
              for i in range(n_b)], load_batch, depth=2)
-        for (i, _), (batch, rel, bmask) in feed:
+        for (i, _, _), (batch, rel, bmask) in feed:
             step_key = jax.random.fold_in(epoch_key, i)
             if training:
                 params, state, opt_state, losses = train_step(
@@ -279,7 +345,8 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
     for epoch in range(start_epoch, n_epochs):
         ek_train, ek_val, key = jax.random.split(key, 3)
         train_losses = run_epoch(train_ids, n_batches, True, ek_train)
-        val_losses = run_epoch(val_ids, n_val_batches, False, ek_val)
+        val_losses = run_epoch(val_ids, n_val_batches, False, ek_val,
+                               ordinal_base=n_batches)
         if shuffle_data:
             rng.shuffle(train_ids)
         if writer is not None:

@@ -53,8 +53,30 @@ from tests.test_multihost import build_problem, run_fixed_steps, run_train
 
 mesh = make_mesh(8)
 print("STEPS:" + json.dumps(run_fixed_steps(mesh)), flush=True)
-print("HISTORY:" + json.dumps(run_train(build_problem(), mesh, outdir)),
-      flush=True)
+
+# Resident vs streamed feed: same training, counting per-step host->device
+# feed traffic through put_global (the pool upload itself goes through
+# make_array_from_callback once and is excluded by design).
+import numpy as np
+import dynamorph_tpu.train.trainer as trainer_mod
+from dynamorph_tpu.core import mesh as mesh_mod
+
+counts = {{"bytes": 0}}
+orig_put = mesh_mod.put_global
+def counting_put(x, sharding):
+    counts["bytes"] += np.asarray(x).nbytes
+    return orig_put(x, sharding)
+mesh_mod.put_global = counting_put
+
+hist_res = run_train(build_problem(), mesh, outdir)
+res_bytes = counts["bytes"]
+trainer_mod._DEVICE_RESIDENT_BUDGET = 0   # force the streamed feed
+counts["bytes"] = 0
+hist_str = run_train(build_problem(), mesh, outdir + "_streamed")
+str_bytes = counts["bytes"]
+print("HISTORY:" + json.dumps(hist_res), flush=True)
+print("HISTORY_STREAMED:" + json.dumps(hist_str), flush=True)
+print("FEEDBYTES:" + json.dumps([res_bytes, str_bytes]), flush=True)
 """
 
 
@@ -423,7 +445,7 @@ def test_two_process_training_matches_single_process(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=560)
+            out, err = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -441,10 +463,26 @@ def test_two_process_training_matches_single_process(tmp_path):
 
     steps_mh = extract("STEPS")
     histories = extract("HISTORY")
+    histories_streamed = extract("HISTORY_STREAMED")
+    feed_bytes = extract("FEEDBYTES")
 
     # every process observes identical (replicated) scalars
     assert steps_mh[0] == steps_mh[1]
     assert histories[0] == histories[1]
+
+    # the device-resident multi-process feed (pooled rows + shard_map-local
+    # gather) must train identically to the streamed put_global feed...
+    for ep_res, ep_str in zip(histories[0], histories_streamed[0]):
+        for split in ("train", "val"):
+            for k, v in ep_str[split].items():
+                np.testing.assert_allclose(
+                    ep_res[split][k], v, rtol=1e-6, atol=1e-8,
+                    err_msg=f"resident vs streamed multi-process feed "
+                            f"diverged at {split}/{k}")
+    # ...while cutting per-step host->device feed traffic to the relation
+    # blocks + int32 index vectors (no batch/mask re-upload)
+    for res_b, str_b in feed_bytes:
+        assert res_b < str_b / 100, (res_b, str_b)
 
     # single-process 8-device runs of the identical problems (this pytest
     # process already holds the 8-device CPU mesh via conftest)
