@@ -69,8 +69,11 @@ def storage_path(path: str, storage: str) -> str:
 def resolve_any(path: str, prefer: str = "existing") -> str:
     """Return the on-disk sibling of ``path`` (.pkl or .npz).
 
-    prefer="existing": the given extension if that file exists, else the
-    sibling. prefer="npz"/"pkl": that extension when it exists.
+    prefer="existing": whichever extension exists; when BOTH exist the most
+    recently modified wins (with a warning) — a re-run under a different
+    ``storage`` setting rewrites only its own extension, so freshness, not
+    the caller's habitual extension, decides which artifact is current.
+    prefer="npz"/"pkl": that extension when it exists.
     """
     cands = [path, npz_path(path) if not path.endswith(".npz")
              else pkl_path(path)]
@@ -78,6 +81,17 @@ def resolve_any(path: str, prefer: str = "existing") -> str:
         cands.sort(key=lambda p: not p.endswith(".npz"))
     elif prefer == "pkl":
         cands.sort(key=lambda p: not p.endswith(".pkl"))
+    elif all(os.path.exists(c) for c in cands):
+        newest = max(cands, key=os.path.getmtime)
+        if newest != cands[0]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "%s is older than its sibling %s — loading the newer file "
+                "(mixed-storage tree; delete the stale artifact or convert "
+                "with cli.convert_storage to silence this)",
+                cands[0], newest)
+        return newest
     for c in cands:
         if os.path.exists(c):
             return c
@@ -196,7 +210,16 @@ def convert_storage(src: str, to: str,
         if _is_stack_dict(obj):
             save_stack_compact(obj, dst)
         elif isinstance(obj, np.ndarray):
-            save_array_compact(obj, dst)
+            # record the pickle dtype so --to pickle restores the exact
+            # reference contract (float64 static_patches, float32 latents)
+            dstp = npz_path(dst)
+            os.makedirs(os.path.dirname(os.path.abspath(dstp)),
+                        exist_ok=True)
+            arr = (obj.astype(np.float32, copy=False)
+                   if obj.dtype.kind == "f" else np.asarray(obj))
+            np.savez(dstp, data=arr,
+                     pkl_dtype=np.asarray(str(obj.dtype)))
+            dst = dstp
         else:
             raise ValueError(
                 f"{src}: unsupported pickle content {type(obj).__name__} — "
@@ -216,9 +239,20 @@ def convert_storage(src: str, to: str,
                         for kk, vv in v.items()}
                     for k, v in data.items()}
             save_pickle(data, dst)
-        elif members == {"data"}:
-            arr = load_array_compact(src)
-            save_pickle(np.asarray(arr), dst)
+        elif members in ({"data"}, {"data", "pkl_dtype"}):
+            with np.load(src, allow_pickle=False) as z:
+                arr = np.asarray(z["data"])
+                if "pkl_dtype" in members:
+                    # converter-written: restore the recorded pickle dtype
+                    arr = arr.astype(np.dtype(str(z["pkl_dtype"])))
+                elif (arr.dtype.kind == "f"
+                      and "static_patches" in os.path.basename(src)
+                      and "mask" not in os.path.basename(src)):
+                    # pipeline-written compact static_patches: the reference
+                    # pickle contract is float64 (pipeline/patch_VAE.py:166);
+                    # latents and masks stay their native dtype
+                    arr = arr.astype(np.float64)
+            save_pickle(arr, dst)
         else:
             raise ValueError(f"{src}: unrecognized npz members {members}")
         return dst

@@ -45,6 +45,12 @@ _STAGES = ((3, 64), (4, 128), (6, 256), (3, 512))
 # segmentation_models' decoder uses the Keras default 1e-3.
 _ENC_EPS = 2e-5
 _DEC_EPS = 1e-3
+# Keras BatchNormalization(momentum=0.99) updates running stats as
+# running = 0.99*running + 0.01*batch — torch-convention momentum 0.01
+# (F.batch_norm). Fine-tuning a migrated model must keep this rate: the
+# torch default 0.1 would move the imported moving stats 10x faster than
+# the Keras training the weights came from.
+_BN_MOMENTUM = 0.01
 
 
 def encoder_layer_names():
@@ -87,13 +93,13 @@ class KerasUNet:
         ki = iter(keys)
 
         def bn(n_ch, scale=True):
-            p, s = F.init_batch_norm(n_ch)
-            if not scale:
-                # Keras BatchNormalization(scale=False): gamma fixed at 1
-                # and absent from the weight file; keep the ones so the
-                # shared batch_norm primitive applies unchanged.
-                pass
-            return p, s
+            # scale=False (bn_data only): Keras keeps gamma fixed at 1 and
+            # omits it from the weight file. The init still carries the
+            # ones-gamma so the shared batch_norm primitive applies
+            # unchanged; the importer skips it and Segment.fit zeroes its
+            # gradient so it stays fixed under fine-tuning.
+            del scale
+            return F.init_batch_norm(n_ch)
 
         params, state = {}, {}
         params["pre_conv"] = F.init_conv(next(ki), 1, 1, self.n_channels, 3)
@@ -106,7 +112,6 @@ class KerasUNet:
         for si, (n_units, ch) in enumerate(_STAGES):
             for u in range(n_units):
                 base = f"stage{si + 1}_unit{u + 1}_"
-                stride = 2 if (u == 0 and si > 0) else 1
                 params[base + "bn1"], state[base + "bn1"] = bn(in_ch)
                 params[base + "conv1"] = F.init_conv(
                     next(ki), 3, 3, in_ch, ch, use_bias=False)
@@ -139,7 +144,8 @@ class KerasUNet:
         base = f"stage{si + 1}_unit{u + 1}_"
         stride = 2 if (u == 0 and si > 0) else 1
         x, ns[base + "bn1"] = F.batch_norm(
-            params[base + "bn1"], state[base + "bn1"], h, train, eps=_ENC_EPS)
+            params[base + "bn1"], state[base + "bn1"], h, train,
+            momentum=_BN_MOMENTUM, eps=_ENC_EPS)
         x = F.relu(x)
         pre_relu = x
         if u == 0:
@@ -148,7 +154,8 @@ class KerasUNet:
             shortcut = h
         x = F.conv2d(params[base + "conv1"], x, stride, 1)
         x, ns[base + "bn2"] = F.batch_norm(
-            params[base + "bn2"], state[base + "bn2"], x, train, eps=_ENC_EPS)
+            params[base + "bn2"], state[base + "bn2"], x, train,
+            momentum=_BN_MOMENTUM, eps=_ENC_EPS)
         x = F.relu(x)
         x = F.conv2d(params[base + "conv2"], x, 1, 1)
         return x + shortcut, pre_relu
@@ -164,11 +171,12 @@ class KerasUNet:
         ns = {}
         x = nchw_to_nhwc(inputs)
         h = F.conv2d(params["pre_conv"], x, 1, 0)
-        h, ns["bn_data"] = F.batch_norm(params["bn_data"], state["bn_data"],
-                                        h, train, eps=_ENC_EPS)
+        h, ns["bn_data"] = F.batch_norm(
+            params["bn_data"], state["bn_data"], h, train,
+            momentum=_BN_MOMENTUM, eps=_ENC_EPS)
         h = F.conv2d(params["conv0"], h, 2, 3)
         h, ns["bn0"] = F.batch_norm(params["bn0"], state["bn0"], h, train,
-                                    eps=_ENC_EPS)
+                                    momentum=_BN_MOMENTUM, eps=_ENC_EPS)
         relu0 = h = F.relu(h)
         # Keras: ZeroPadding2D(1) + MaxPooling2D(3, 2, 'valid'). Post-ReLU
         # activations are >= 0, so the shared -inf-padded pool is identical.
@@ -182,7 +190,7 @@ class KerasUNet:
                     # stage{2,3,4}_unit1_relu1: sm's encoder skip features
                     skips[si] = pre_relu
         h, ns["bn1"] = F.batch_norm(params["bn1"], state["bn1"], h, train,
-                                    eps=_ENC_EPS)
+                                    momentum=_BN_MOMENTUM, eps=_ENC_EPS)
         h = F.relu(h)
 
         skip_order = [skips[3], skips[2], skips[1], relu0, None]
@@ -195,7 +203,7 @@ class KerasUNet:
                 h = F.conv2d(params[name + "_conv"], h, 1, 1)
                 h, ns[name + "_bn"] = F.batch_norm(
                     params[name + "_bn"], state[name + "_bn"], h, train,
-                    eps=_DEC_EPS)
+                    momentum=_BN_MOMENTUM, eps=_DEC_EPS)
                 h = F.relu(h)
         logits = F.conv2d(params["final_conv"], h, 1, 1)
         return nhwc_to_nchw(logits), ns

@@ -160,18 +160,21 @@ def process_site_seg_patch_fused(
     site-parallel workers give each site its own chip (see
     ``seg_patch_fused``); None uses the default device.
 
-    ``lookahead``: enqueue frame t+1's upload + U-Net before the host work
-    on frame t (software pipelining; holds two frames' HBM residents).
-    Disable only if a frame's residents don't fit HBM twice.
+    ``lookahead``: enqueue uploads + U-Net dispatches ahead of the host work
+    on the current frame (software pipelining). HBM holds
+    ``cluster_workers + 1`` frames' residents; if that doesn't fit, shrink
+    ``cluster_workers`` to 1 (two frames resident) or disable ``lookahead``
+    (one frame, strictly serial).
 
     ``cluster_workers``: host threads running DBSCAN on frames ahead of the
     consume point (the native solver releases the GIL, so frames genuinely
     cluster in parallel on multi-core hosts — the TPU-native answer to the
     reference's per-t serial loop, instance_clustering.py:170-177). Results
     are consumed in frame order, so every artifact is identical for any
-    value. HBM holds ``cluster_workers + 1`` frames' residents. Default
-    min(3, cpu_count); ignored (inline clustering) when ``lookahead`` is
-    off.
+    value. The native solver's own core-test threads are divided by the
+    worker count so frame-level and point-level parallelism share the
+    cores instead of oversubscribing. Default min(3, cpu_count); ignored
+    (inline clustering) when ``lookahead`` is off.
     """
     import jax
     import jax.numpy as jnp
@@ -205,6 +208,13 @@ def process_site_seg_patch_fused(
         raw_u16 = np.ascontiguousarray(image_stack[t_point, :, 0])
         return seg_frame(params, state, put(raw_u16))
 
+    if cluster_workers is None:
+        cluster_workers = max(1, min(3, os.cpu_count() or 1))
+    # split the host cores between frame-level (pool) and point-level
+    # (native core test) parallelism: N workers each spawning the solver's
+    # independent default (up to 8 threads) would oversubscribe the host
+    dbscan_threads = max(1, (os.cpu_count() or 1) // max(1, cluster_workers))
+
     def host_cluster(packed):
         # unpack the bitmask -> row-major foreground coords (same order as
         # np.where in the staged path) -> DBSCAN + filters; runs on a
@@ -215,10 +225,8 @@ def process_site_seg_patch_fused(
         positions = np.argwhere(fg)
         return cluster_foreground_positions(
             positions, (x_size, y_size), ct_thr=ct_thr,
-            instance_map=False, dbscan_thr=dbscan_thr)
-
-    if cluster_workers is None:
-        cluster_workers = max(1, min(3, os.cpu_count() or 1))
+            instance_map=False, dbscan_thr=dbscan_thr,
+            threads=dbscan_threads)
     # frames in flight beyond the one being consumed: their uploads + U-Net
     # dispatches are enqueued (FIFO device queue) and their clustering runs
     # on the pool. lookahead=False keeps the strictly serial schedule.

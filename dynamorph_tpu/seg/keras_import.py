@@ -134,10 +134,16 @@ def import_keras_unet(path: str, n_channels: int = 2, n_classes: int = 3,
 
 
 def verify_against_golden(net, params, state, golden_path: str,
-                          atol: float = 1e-4) -> float:
+                          atol: float = 2e-3) -> float:
     """Check the imported model against golden activations from
     ``tools/export_keras_unet.py`` (keys ``golden_input``/``golden_logits``
-    in the .npz). Returns the max abs logit deviation; raises if > atol."""
+    in the .npz). Returns the max abs logit deviation; raises if > atol.
+
+    Default atol covers the measured float32 accumulation spread between
+    backends: ~4.8e-4 logit deviation vs a float64 oracle on TPU v5e
+    (models/unet_keras.py) plus TF-f32-on-CPU's own rounding — a
+    weight-correct import lands well under 2e-3; real weight-mapping bugs
+    produce O(1) deviations."""
     import jax
 
     with np.load(golden_path) as f:

@@ -100,18 +100,24 @@ class Segment:
 
         @jax.jit
         def step(params, state, opt_state, x, y):
+            from ..models.unet_keras import KerasUNet, encoder_layer_names
+
             (loss, new_state), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, state, x, y)
             if self.freeze_encoder:
-                from ..models.unet_keras import (KerasUNet,
-                                                 encoder_layer_names)
-
                 enc_keys = set(encoder_layer_names()) \
                     if isinstance(self.net, KerasUNet) \
                     else {"stem", "layer1", "layer2", "layer3", "layer4"}
                 grads = {k: (jax.tree_util.tree_map(jnp.zeros_like, v)
                              if k in enc_keys else v)
                          for k, v in grads.items()}
+            if isinstance(self.net, KerasUNet):
+                # bn_data is Keras BatchNormalization(scale=False): gamma is
+                # fixed at 1 in the reference graph (not a trainable weight),
+                # so fine-tuning must never update it
+                grads = dict(grads, bn_data=dict(
+                    grads["bn_data"],
+                    scale=jnp.zeros_like(grads["bn_data"]["scale"])))
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, new_state, opt_state, loss

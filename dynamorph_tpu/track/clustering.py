@@ -75,12 +75,17 @@ def cluster_foreground_positions(positions: np.ndarray,
                                  ct_thr: Tuple[int, int] = (500, 12000),
                                  instance_map: bool = True,
                                  map_path: Optional[str] = None,
-                                 dbscan_thr: Tuple[int, int] = (10, 250)):
+                                 dbscan_thr: Tuple[int, int] = (10, 250),
+                                 threads: Optional[int] = None):
     """DBSCAN + size/window filtering over precomputed foreground pixel
     coordinates (row-major order, as np.where yields). Split out from
     ``instance_clustering`` so the device-resident fused seg->patch path can
     hand over only the (N, 2) coordinates instead of the full probability
-    map (reference instance_clustering.py:58-137 minus the thresholding)."""
+    map (reference instance_clustering.py:58-137 minus the thresholding).
+
+    ``threads`` caps the native solver's core-test threads (labels are
+    identical for any value) — callers that already run frames in parallel
+    pass cores/frame_workers to avoid oversubscription."""
     from ..native.dbscan import grid_dbscan
 
     if len(positions) < MIN_FG_PIXELS:
@@ -88,7 +93,7 @@ def cluster_foreground_positions(positions: np.ndarray,
 
     positions_labels = grid_dbscan(positions, eps=dbscan_thr[0],
                                    min_samples=dbscan_thr[1],
-                                   shape=shape)
+                                   shape=shape, threads=threads)
     cell_ids, point_cts = np.unique(positions_labels, return_counts=True)
 
     cell_positions = []

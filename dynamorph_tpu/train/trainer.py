@@ -211,8 +211,13 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
     # upload ONCE and batches gather on device from int32 index vectors;
     # only the uint8 relation blocks still travel per step. Gather is
     # exact, so numerics are unchanged.
+    # the resident footprint includes the pre-transformed uint8 mask (one
+    # channel, slice_mask) alongside the patches — gate on BOTH so a
+    # dataset that barely fits doesn't OOM once the mask uploads too
+    _resident_bytes = dataset.nbytes + (
+        0 if mask is None else len(mask) * int(np.prod(mask.shape[2:])))
     resident = (not multiproc
-                and dataset.nbytes <= _DEVICE_RESIDENT_BUDGET)
+                and _resident_bytes <= _DEVICE_RESIDENT_BUDGET)
     if resident:
         dataset_src = jnp.asarray(dataset)
         mask_src = None
@@ -235,7 +240,7 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
     # run_training.py:455-551). Values are identical to the streamed feed
     # because the pool layout equals put_global's contiguous-chunk split.
     resident_mp = (multiproc and not shuffle_data
-                   and dataset.nbytes <= _DEVICE_RESIDENT_BUDGET)
+                   and _resident_bytes <= _DEVICE_RESIDENT_BUDGET)
     if resident_mp:
         S = mesh.shape["data"]
         chunk = batch_size // S

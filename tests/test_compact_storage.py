@@ -60,8 +60,19 @@ def test_resolve_any(tmp_path):
     save_pickle([1], pkl)
     assert resolve_any(npz) == pkl          # sibling found
     np.savez(npz, data=np.zeros(1))
-    assert resolve_any(pkl) == pkl          # given ext wins when it exists
+    # both exist: the NEWEST file wins regardless of the asked-for
+    # extension — a re-run under a different storage setting rewrites only
+    # its own extension, so a stale artifact must not shadow a fresh one
+    os.utime(pkl, (1, 1))
+    os.utime(npz, (2, 2))
+    assert resolve_any(pkl) == npz
+    assert resolve_any(npz) == npz
+    os.utime(pkl, (3, 3))
+    assert resolve_any(pkl) == pkl
+    assert resolve_any(npz) == pkl
+    # explicit prefer still forces the extension
     assert resolve_any(pkl, prefer="npz") == npz
+    assert resolve_any(npz, prefer="pkl") == pkl
 
 
 def test_stack_roundtrip_exact(tmp_path, rng):
@@ -119,6 +130,41 @@ def test_converter_both_ways(tmp_path, rng):
         load_array_any(adst).astype(np.float64), arr)
     np.testing.assert_array_equal(
         load_pickle(convert_storage(adst, "pickle")).astype(np.float64), arr)
+
+
+def test_converter_restores_pickle_dtypes(tmp_path, rng):
+    """--to pickle restores the reference dtype contract: a float64
+    static_patches pickle round-trips back to float64 (the converter
+    records the source dtype; pipeline-written compact files fall back to
+    the filename contract), while float32 latents stay float32."""
+    from dynamorph_tpu.io.compact import save_array_compact
+
+    # converter round-trip: recorded dtype wins
+    patches = _f32_origin(rng, 5, 8).astype(np.float64)
+    src = str(tmp_path / "C5_static_patches.pkl")
+    save_pickle(patches, src)
+    dst = convert_storage(src, "compact")
+    os.remove(src)
+    back = load_pickle(convert_storage(dst, "pickle"))
+    assert back.dtype == np.float64
+    np.testing.assert_array_equal(back, patches)
+
+    # pipeline-written compact static_patches (no recorded dtype): the
+    # filename contract restores float64
+    p2 = str(tmp_path / "C6_static_patches.npz")
+    save_array_compact(patches, p2)
+    back2 = load_pickle(convert_storage(p2, "pickle"))
+    assert back2.dtype == np.float64
+    np.testing.assert_array_equal(back2, patches)
+
+    # latents stay float32 either way (they are float32 natively in the
+    # reference pickle contract)
+    lat = _f32_origin(rng, 4, 16).astype(np.float32)
+    l1 = str(tmp_path / "C5_latent_space.pkl")
+    save_pickle(lat, l1)
+    ldst = convert_storage(l1, "compact")
+    os.remove(l1)
+    assert load_pickle(convert_storage(ldst, "pickle")).dtype == np.float32
 
 
 def test_converter_rejects_unsupported(tmp_path):
