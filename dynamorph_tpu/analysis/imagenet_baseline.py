@@ -49,12 +49,17 @@ def preprocess_patch(dat: np.ndarray, cs=(0, 1),
 
 
 def preprocess(patch: np.ndarray, cs: Sequence[int] = (0, 1),
-               channel_max=CHANNEL_MAX, size: int = 224) -> np.ndarray:
+               channel_max=CHANNEL_MAX, size: int = 224,
+               mode: str = "torch") -> np.ndarray:
     """One (C, H, W) patch -> (len(cs), 3, size, size) float32 network
     inputs: per selected grayscale channel, resize to size^2, replicate to
-    3 channels, scale to [0, 1], ImageNet-normalize
-    (reference naive_imagenet.py:63-85 resize/replicate semantics;
-    normalization is torchvision's to match the imported weights).
+    3 channels, scale to [0, 1], then model-specific normalization
+    (reference naive_imagenet.py:63-85 resize/replicate semantics).
+
+    ``mode="torch"``: torchvision ImageNet mean/std, matching the imported
+    ResNet weights. ``mode="inception"``: scale to [-1, 1] — exactly the
+    reference's [0,255] -> keras 'tf'-mode ``preprocess_input`` chain
+    (g*255/127.5 - 1 == 2g - 1, naive_imagenet.py:60,85-87).
     """
     import cv2
 
@@ -66,7 +71,11 @@ def preprocess(patch: np.ndarray, cs: Sequence[int] = (0, 1),
         g = cv2.resize(patch[c].astype(np.float64), (size, size))
         g = g / np.asarray(channel_max, np.float64)
         rgb = np.stack([g] * 3, 0).astype(np.float32)
-        rgb = (rgb - IMAGENET_MEAN[:, None, None]) / IMAGENET_STD[:, None, None]
+        if mode == "inception":
+            rgb = rgb * 2.0 - 1.0
+        else:
+            rgb = (rgb - IMAGENET_MEAN[:, None, None]) \
+                / IMAGENET_STD[:, None, None]
         stacks.append(rgb)
     return np.stack(stacks, 0)
 
@@ -102,9 +111,35 @@ def initiate_model(weights: Optional[object] = None, arch: str = "ResNet50"):
     return model, params, state
 
 
+def initiate_model_inception(weights: Optional[str] = None,
+                             pooling: str = "avg"):
+    """Build the InceptionResNetV2 feature extractor (reference
+    naive_imagenet.py:47-60, ``initiate_model_inception`` — dead code
+    upstream, ported for baseline completeness).
+
+    Args:
+        weights: path to a keras_applications InceptionResNetV2 ``.h5``
+            weight file (legacy layout, as distributed for
+            ``weights='imagenet'``) for offline pretrained init; None ->
+            random glorot init (structure/testing).
+
+    Returns:
+        (model, params, state) — use with ``extract_features(...,
+        mode="inception")``; features are 1536-d pooled.
+    """
+    from ..models.inception_resnet_v2 import (
+        InceptionResNetV2, import_keras_inception_resnet_v2)
+
+    if weights is not None:
+        return import_keras_inception_resnet_v2(weights, pooling=pooling)
+    model = InceptionResNetV2(pooling=pooling)
+    params, state = model.init(0)
+    return model, params, state
+
+
 def extract_features(patches, model, params, state, cs: Sequence[int] = (0, 1),
                      channel_max=CHANNEL_MAX, batch_size: int = 128,
-                     size: int = 224) -> np.ndarray:
+                     size: int = 224, mode: str = "torch") -> np.ndarray:
     """Encode patches to pooled ImageNet features (the working equivalent of
     reference naive_imagenet.py:88-129 `predict`).
 
@@ -122,7 +157,8 @@ def extract_features(patches, model, params, state, cs: Sequence[int] = (0, 1),
 
             with h5py.File(p, "r") as f:
                 p = np.transpose(np.asarray(f["masked_mat"]), (2, 0, 1))
-        xs.append(preprocess(p, cs=cs, channel_max=channel_max, size=size))
+        xs.append(preprocess(p, cs=cs, channel_max=channel_max, size=size,
+                             mode=mode))
     x = np.concatenate(xs, 0)  # (N * n_channels, 3, size, size)
     feats = model.encode_batched(params, state, x, out="h",
                                  batch_size=batch_size)

@@ -102,13 +102,17 @@ def init_linear(key, in_dim: int, out_dim: int, dtype=jnp.float32):
 # Layer applications
 # ---------------------------------------------------------------------------
 
-def conv2d(params, x, stride: int = 1, padding: int = 0):
-    """2-D convolution, NHWC; matches torch.nn.Conv2d(stride, padding)."""
+def conv2d(params, x, stride: int = 1, padding=0):
+    """2-D convolution, NHWC; matches torch.nn.Conv2d(stride, padding).
+
+    ``padding`` is a symmetric int or a per-axis (pad_h, pad_w) pair (torch
+    accepts the same tuple form — needed for 1x7/7x1 kernels)."""
+    ph, pw = padding if isinstance(padding, tuple) else (padding, padding)
     y = jax.lax.conv_general_dilated(
         x,
         params["kernel"],
         window_strides=(stride, stride),
-        padding=((padding, padding), (padding, padding)),
+        padding=((ph, ph), (pw, pw)),
         dimension_numbers=_DIMS,
     )
     if "bias" in params:
