@@ -1,6 +1,8 @@
 """Keras .h5 U-Net weight migration (seg/keras_import.py + unet_keras.py).
 
-TensorFlow is absent in this environment, so the strategy is:
+The reference's exact graph comes from ``segmentation_models==1.0.1``
+(+ classification_models), which is not installed here — only its
+re-derivation can be tested offline. The strategy:
 
 1. a synthetic weight set in the exact Keras save_weights HDF5 layout
    (layer groups + weight_names attrs, nested sm.Unet model group) written
@@ -14,10 +16,12 @@ TensorFlow is absent in this environment, so the strategy is:
    KerasUNet's jitted forward reproduces the oracle logits.
 
 The remaining unverifiable-offline risk (fidelity of the graph itself to
-real TF) is covered by tools/export_keras_unet.py, which emits golden
-activations from the real TensorFlow model where TF exists;
+real segmentation_models) is covered by tools/export_keras_unet.py, which
+emits golden activations from the real TF model where the package exists;
 ``verify_against_golden`` (tested here against the oracle npz) closes that
-loop on the user's machine.
+loop on the user's machine. Individual Keras layer semantics (same-conv
+alignment, BN eps placement, upsampling, pad+pool) ARE pinned against live
+Keras in test_keras_semantics.py.
 """
 import os
 
