@@ -15,9 +15,12 @@ Methodology (honest under async/pipelined runtimes):
   cancels fixed dispatch/fetch latency.
 
 Output: the HEADLINE metric is the LAST JSON line (the driver's contract);
-secondary lines precede it — multichip sharded-step health (8-device CPU
-mesh + collective-set check), U-Net seg frames/s, z32 train-step patches/s —
-so training/seg/scaling regressions are visible in BENCH_r*.json history.
+secondary lines precede it — host-only compact-deserialize patches/s,
+multichip sharded-step health (8-device CPU mesh + collective-set check),
+U-Net seg frames/s, z32 train-step patches/s — so training/seg/scaling/IO
+regressions are visible in BENCH_r*.json history. Chain-timed metrics also
+emit per-replicate "samples" + raw chain times so the relay's documented
+±10% swings are visible in the JSON itself.
 vs_baseline on the headline is relative to the measured reference
 throughput on CPU (323.9 patches/s unbatched — see BASELINE.md); on the
 train/seg lines it is relative to our own first scripted measurements
@@ -45,21 +48,49 @@ TRAIN_BASELINE_PATCHES_PER_SEC = 13815.0
 # First scripted end-to-end process_vae measurement (2026-08-17, this
 # bench, relay-tunnel environment): pickle IO + transfer + encode + save.
 E2E_BASELINE_PATCHES_PER_SEC = 264.1
+# First scripted host-only compact (.npz f32) static_patches deserialize
+# measurement (2026-08-19, this bench, 1-vCPU relay host; run-to-run
+# spread ~±15%, speedup vs pickle-f64 1.5-1.8x on this host).
+COMPACT_DESER_BASELINE_PPS = 12000.0
 
 
-def _best_of(fn, reps: int, budget_s: float) -> float:
-    """min over up to ``reps`` calls, stopping early once ``budget_s`` of
-    wall time is spent (>=1 call always runs). The relay's dispatch speed
-    varies >3x between runs; a fixed rep count either wastes the budget on
-    fast days or starves the other metrics on slow days. One rep costs
-    ~±5-10%% noise — irrelevant at the tracked margins."""
+def _samples_of(fn, reps: int, budget_s: float) -> list:
+    """Up to ``reps`` calls, stopping early once ``budget_s`` of wall time
+    is spent (>=1 call always runs). The relay's dispatch speed varies >3x
+    between runs; a fixed rep count either wastes the budget on fast days
+    or starves the other metrics on slow days. One rep costs ~±5-10%%
+    noise — irrelevant at the tracked margins."""
     vals = []
     t0 = time.time()
     for _ in range(reps):
         vals.append(fn())
         if time.time() - t0 > budget_s:
             break
-    return min(vals)
+    return vals
+
+
+def _best_of(fn, reps: int, budget_s: float) -> float:
+    return min(_samples_of(fn, reps, budget_s))
+
+
+def _chain_stats(t_short: list, t_long: list, d_iters: int, batch: int):
+    """Per-replicate throughput estimates + min/max, emitted alongside the
+    headline so relay-variance swings (documented ±10%, BASELINE.md
+    "Chain-methodology validation") are visible in BENCH_r*.json itself
+    instead of reading as regressions (VERDICT r4 weak #3). The headline
+    value stays min(short)/min(long) — the least-interference estimate —
+    while ``samples`` pairs replicate k's short and long chains."""
+    per_rep = []
+    for ts, tl in zip(t_short, t_long):
+        marginal = max((tl - ts) / d_iters, 1e-9)
+        per_rep.append(round(batch / marginal, 1))
+    return {
+        "samples": per_rep,
+        "sample_min": min(per_rep),
+        "sample_max": max(per_rep),
+        "chain_s": {"short": [round(t, 4) for t in t_short],
+                    "long": [round(t, 4) for t in t_long]},
+    }
 
 
 def bench_train_step():
@@ -106,18 +137,20 @@ def bench_train_step():
     run_chain(1, params, state, opt_state)
 
     short_iters, long_iters = 5, 25
-    t_short = _best_of(
+    ts = _samples_of(
         lambda: run_chain(short_iters, params, state, opt_state), 3, 30)
-    t_long = _best_of(
+    tl = _samples_of(
         lambda: run_chain(long_iters, params, state, opt_state), 3, 90)
-    marginal = max((t_long - t_short) / (long_iters - short_iters), 1e-9)
+    marginal = max((min(tl) - min(ts)) / (long_iters - short_iters), 1e-9)
     patches_per_sec = batch_size / marginal
-    return {
+    out = {
         "metric": "vqvae_z32_train_step_patches_per_sec_per_chip",
         "value": round(patches_per_sec, 1),
         "unit": "128x128 2-ch patches/s (train, batch 768)",
         "vs_baseline": round(patches_per_sec / TRAIN_BASELINE_PATCHES_PER_SEC, 2),
     }
+    out.update(_chain_stats(ts, tl, long_iters - short_iters, batch_size))
+    return out
 
 
 def bench_seg_inference():
@@ -252,6 +285,62 @@ def bench_e2e_encode(n_wells: int = 3, patches_per_well: int = 512,
     }
 
 
+def bench_compact_deserialize(n_patches: int = 256, reps: int = 5):
+    """HOST-ONLY compact-storage regression line (VERDICT r4 item 6): time
+    deserializing one synthetic well's static_patches in both formats —
+    reference float64 pickle (pipeline/patch_VAE.py:454-462 contract) vs
+    compact float32 .npz (io/compact.py) — with zero relay/device
+    dependence, so the 2.2x host win (BASELINE.md "Compact storage") is
+    pinned by the default driver run instead of an opt-in A/B.
+
+    value = npz-f32 patches/s; vs_baseline is measured against the pinned
+    first measurement so drift in the compact reader itself shows as <1;
+    the pickle number and the speedup ride along as extra keys."""
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, ".")
+    from dynamorph_tpu.io.compact import (load_array_compact,
+                                          save_array_compact)
+    from dynamorph_tpu.io.pickles import load_pickle, save_pickle
+
+    base = tempfile.mkdtemp(prefix="compact_deser_")
+    try:
+        rng = np.random.RandomState(0)
+        patches = (rng.rand(n_patches, 2, 1, 128, 128) * 60000
+                   ).astype(np.float64)
+        pkl = os.path.join(base, "well_static_patches.pkl")
+        npz = os.path.join(base, "well_static_patches.npz")
+        save_pickle(patches, pkl)
+        save_array_compact(patches, npz)
+
+        def time_loads(fn, path):
+            fn(path)  # warm the page cache
+            best = np.inf
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = fn(path)
+                best = min(best, time.perf_counter() - t0)
+                del out
+            return best
+
+        t_pkl = time_loads(load_pickle, pkl)
+        t_npz = time_loads(load_array_compact, npz)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    pps_npz = n_patches / t_npz
+    pps_pkl = n_patches / t_pkl
+    return {
+        "metric": "host_compact_deserialize_patches_per_sec",
+        "value": round(pps_npz, 1),
+        "unit": ("static_patches/s npz-f32 host deserialize "
+                 "(no relay/device)"),
+        "vs_baseline": round(pps_npz / COMPACT_DESER_BASELINE_PPS, 2),
+        "pickle_f64_patches_per_sec": round(pps_pkl, 1),
+        "speedup_vs_pickle": round(pps_npz / pps_pkl, 2),
+    }
+
+
 def _multichip_start():
     """Multi-chip health on an 8-device CPU mesh (no TPU pod needed):
     executes the FULL sharded train step (dryrun_multichip(8) — batch-DP +
@@ -372,18 +461,20 @@ def main():
     # warm program) at ~57% of the chain cost; reps are TIME-BOXED so a
     # slow-relay day degrades to best-of-1 instead of starving the
     # secondary metrics (VERDICT r2 item 2)
-    t_short = _best_of(lambda: timed_chain(short_iters), 3, 60)
-    t_long = _best_of(lambda: timed_chain(long_iters), 3, 150)
-    marginal = (t_long - t_short) / (long_iters - short_iters)
+    ts = _samples_of(lambda: timed_chain(short_iters), 3, 60)
+    tl = _samples_of(lambda: timed_chain(long_iters), 3, 150)
+    marginal = (min(tl) - min(ts)) / (long_iters - short_iters)
     marginal = max(marginal, 1e-9)
 
     patches_per_sec = batch / marginal
-    return {
+    out = {
         "metric": "vqvae_z16_encode_patches_per_sec_per_chip",
         "value": round(patches_per_sec, 1),
         "unit": "128x128 2-ch patches/s",
         "vs_baseline": round(patches_per_sec / REFERENCE_CPU_PATCHES_PER_SEC, 1),
     }
+    out.update(_chain_stats(ts, tl, long_iters - short_iters, batch))
+    return out
 
 
 def _emit(d):
@@ -405,6 +496,8 @@ if __name__ == "__main__":
         _emit(bench_seg_inference())
     elif "--multichip-only" in sys.argv:
         _emit(bench_multichip())
+    elif "--compact-deser-only" in sys.argv:
+        _emit(bench_compact_deserialize())
     elif "--e2e-only" in sys.argv:
         storage = "compact" if "--compact" in sys.argv else "pickle"
         _emit(bench_e2e_encode(storage=storage))
@@ -425,6 +518,8 @@ if __name__ == "__main__":
         # discard the measured headline (it stays the last printed line in
         # that case too); re-emitted last on normal completion
         _emit(headline)
+        # host-only (no relay): always cheap enough to run
+        _emit(bench_compact_deserialize())
         _emit(_multichip_collect(
             mc_proc, timeout=max(30.0, 560 - (time.time() - t0))))
         # (secondary, budget-seconds-remaining needed to attempt it)

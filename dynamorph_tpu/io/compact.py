@@ -44,6 +44,11 @@ from .pickles import load_pickle, save_pickle
 
 STACK_MEMBERS = ("keys", "mat", "masked_mat")
 
+# resolve_any mtime tie window (seconds): differences at or below this are
+# treated as "same age" — copied/extracted trees often land both siblings
+# within the same second (or identical) even when their contents differ.
+_MTIME_TIE_S = 2.0
+
 
 def npz_path(path: str) -> str:
     """`foo.pkl` / `foo` -> `foo.npz`."""
@@ -73,6 +78,11 @@ def resolve_any(path: str, prefer: str = "existing") -> str:
     recently modified wins (with a warning) — a re-run under a different
     ``storage`` setting rewrites only its own extension, so freshness, not
     the caller's habitual extension, decides which artifact is current.
+    mtimes are unreliable across copied/extracted/synced trees (``cp``
+    without ``-p``, archive unpack flatten them to the copy time), so when
+    the two mtimes are within ``_MTIME_TIE_S`` of each other the explicitly
+    requested extension wins instead — a copied tree degrades to the
+    caller's choice rather than an arbitrary one.
     prefer="npz"/"pkl": that extension when it exists.
     """
     cands = [path, npz_path(path) if not path.endswith(".npz")
@@ -82,7 +92,10 @@ def resolve_any(path: str, prefer: str = "existing") -> str:
     elif prefer == "pkl":
         cands.sort(key=lambda p: not p.endswith(".pkl"))
     elif all(os.path.exists(c) for c in cands):
-        newest = max(cands, key=os.path.getmtime)
+        mtimes = [os.path.getmtime(c) for c in cands]
+        if abs(mtimes[0] - mtimes[1]) <= _MTIME_TIE_S:
+            return cands[0]  # tie (copied/synced tree): requested ext wins
+        newest = cands[int(mtimes[1] > mtimes[0])]
         if newest != cands[0]:
             import logging
 
@@ -210,13 +223,28 @@ def convert_storage(src: str, to: str,
         if _is_stack_dict(obj):
             save_stack_compact(obj, dst)
         elif isinstance(obj, np.ndarray):
-            # record the pickle dtype so --to pickle restores the exact
-            # reference contract (float64 static_patches, float32 latents)
+            # record the pickle dtype so --to pickle restores the DTYPE
+            # contract (float64 static_patches, float32 latents). Values
+            # round through float32: exact for f32-origin data (on-device
+            # patches, latents), LOSSY for genuine float64 content (e.g.
+            # static_patches after cv2's float64 resize) — warn so users
+            # converting real f64 artifacts know the round trip truncates.
             dstp = npz_path(dst)
             os.makedirs(os.path.dirname(os.path.abspath(dstp)),
                         exist_ok=True)
-            arr = (obj.astype(np.float32, copy=False)
-                   if obj.dtype.kind == "f" else np.asarray(obj))
+            if obj.dtype.kind == "f":
+                arr = obj.astype(np.float32, copy=False)
+                if obj.dtype.itemsize > 4 and not np.array_equal(
+                        arr.astype(obj.dtype), obj):
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "%s: float%d values are not exactly representable "
+                        "as float32 — the compact form (and any pickle "
+                        "converted back from it) rounds them",
+                        src, obj.dtype.itemsize * 8)
+            else:
+                arr = np.asarray(obj)
             np.savez(dstp, data=arr,
                      pkl_dtype=np.asarray(str(obj.dtype)))
             dst = dstp

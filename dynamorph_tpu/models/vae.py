@@ -232,7 +232,19 @@ class IWAEModel(VAEModel):
         normalized-weight form (reference vae.py:664-676), NOT this bound;
         use this method for model comparison / bound-tightening checks.
         Uses the same (unnormalized) log-density conventions as ``apply`` so
-        values are comparable across k for a fixed model."""
+        values are comparable across k for a fixed model.
+
+        CAVEAT — not a true log p(x) bound: the q-density term inherits the
+        reference's convention of subtracting ``z_logstd`` per dimension
+        (reference vae.py:668) while the sampled std is
+        ``exp(0.5 * z_logstd)``, i.e. the subtracted log-std is 2x the true
+        one, and ``log_p_x_z``/``log_p_z`` drop their Gaussian
+        normalizers. The value therefore bounds log E[w] under a mismatched
+        density whose data-dependent offset varies with the encoder's
+        predicted variances — usable ONLY for relative comparisons between
+        k values or checkpoints of the same model, never as an absolute
+        likelihood. A corrected variant would subtract ``0.5 * z_logstd``
+        in ``log_q_z_x``."""
         x = nchw_to_nhwc(inputs)
         mask = (nchw_to_nhwc(batch_mask) if batch_mask is not None
                 else jnp.ones_like(x))

@@ -210,10 +210,17 @@ def process_site_seg_patch_fused(
 
     if cluster_workers is None:
         cluster_workers = max(1, min(3, os.cpu_count() or 1))
+    # frames in flight beyond the one being consumed (the effective
+    # frame-level worker count): their uploads + U-Net dispatches are
+    # enqueued (FIFO device queue) and their clustering runs on the pool.
+    # lookahead=False keeps the strictly serial schedule with clustering
+    # inline — no frame-level parallelism, so the native solver keeps the
+    # host's FULL core budget instead of a 1/cluster_workers slice.
+    window = max(1, int(cluster_workers)) if lookahead else 0
     # split the host cores between frame-level (pool) and point-level
     # (native core test) parallelism: N workers each spawning the solver's
     # independent default (up to 8 threads) would oversubscribe the host
-    dbscan_threads = max(1, (os.cpu_count() or 1) // max(1, cluster_workers))
+    dbscan_threads = max(1, (os.cpu_count() or 1) // max(1, window))
 
     def host_cluster(packed):
         # unpack the bitmask -> row-major foreground coords (same order as
@@ -227,11 +234,6 @@ def process_site_seg_patch_fused(
             positions, (x_size, y_size), ct_thr=ct_thr,
             instance_map=False, dbscan_thr=dbscan_thr,
             threads=dbscan_threads)
-    # frames in flight beyond the one being consumed: their uploads + U-Net
-    # dispatches are enqueued (FIFO device queue) and their clustering runs
-    # on the pool. lookahead=False keeps the strictly serial schedule.
-    window = max(1, int(cluster_workers)) if lookahead else 0
-
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 

@@ -60,16 +60,22 @@ def test_resolve_any(tmp_path):
     save_pickle([1], pkl)
     assert resolve_any(npz) == pkl          # sibling found
     np.savez(npz, data=np.zeros(1))
-    # both exist: the NEWEST file wins regardless of the asked-for
+    # both exist: the CLEARLY newest file wins regardless of the asked-for
     # extension — a re-run under a different storage setting rewrites only
     # its own extension, so a stale artifact must not shadow a fresh one
-    os.utime(pkl, (1, 1))
-    os.utime(npz, (2, 2))
+    os.utime(pkl, (100, 100))
+    os.utime(npz, (200, 200))
     assert resolve_any(pkl) == npz
     assert resolve_any(npz) == npz
-    os.utime(pkl, (3, 3))
+    os.utime(pkl, (300, 300))
     assert resolve_any(pkl) == pkl
     assert resolve_any(npz) == pkl
+    # near-equal mtimes (copied/synced trees flatten them): the requested
+    # extension wins instead of an arbitrary sub-second ordering
+    os.utime(pkl, (400, 400))
+    os.utime(npz, (401, 401))
+    assert resolve_any(pkl) == pkl
+    assert resolve_any(npz) == npz
     # explicit prefer still forces the extension
     assert resolve_any(pkl, prefer="npz") == npz
     assert resolve_any(npz, prefer="pkl") == pkl
