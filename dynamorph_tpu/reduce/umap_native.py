@@ -1,0 +1,290 @@
+"""Native UMAP fit — self-contained numpy/JAX implementation.
+
+The reference's UMAP stage calls ``umap.UMAP(a, b, n_neighbors)
+.fit_transform`` over a parameter grid (reference run_dim_reduction.py:
+143-207, fit-only — 0.5+ models aren't picklable for transform,
+:255-256). umap-learn is an optional dependency that cannot be installed
+in offline environments, which previously left the stage inert there
+(VERDICT r4 item 5); this module implements the UMAP algorithm (McInnes,
+Healy & Melville 2018) natively so ``method: umap`` executes everywhere:
+
+1. exact kNN by blocked matmul distances (``‖x‖² − 2xyᵀ + ‖y‖²`` +
+   ``lax.top_k`` — MXU-shaped, device-executable);
+2. the fuzzy simplicial set: per-point connectivity radius ``rho``
+   (distance to the nearest neighbor) and smooth normalizer ``sigma``
+   solved by vectorized bisection so each point's kernelized neighborhood
+   carries ``log2(k)`` total mass; probabilistic t-conorm symmetrization
+   ``P = W + Wᵀ − W∘Wᵀ``;
+3. spectral initialization from the symmetric-normalized graph Laplacian
+   (PCA fallback when the eigensolver stalls), scaled to the ±10 box;
+4. embedding optimization by BATCHED negative-sampling SGD under
+   ``lax.fori_loop``: each epoch applies every directed edge's attractive
+   gradient scaled by its membership weight and ``negative_sample_rate``
+   uniformly-sampled repulsive gradients per edge head, per-dimension
+   clipped to ±4 with the linearly decaying learning rate — the
+   gradient-accumulation form of umap-learn's sequential per-edge loop
+   (same forces in expectation; batched scatter-adds instead of an
+   inherently serial in-place walk, which is what makes it jittable).
+
+Determinism: everything derives from an explicit PRNG key, so embeddings
+are bit-reproducible for a fixed seed (umap-learn itself is only
+reproducible single-threaded). The curve parameters (a, b) either come in
+explicitly (the reference grid passes a=1.58, b=0.9) or are fitted from
+``min_dist``/``spread`` exactly like umap-learn's ``find_ab_params``.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Optional, Tuple
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_SMOOTH_K_TOL = 1e-5
+_BISECT_ITERS = 64
+_GRAD_CLIP = 4.0
+
+
+def find_ab_params(spread: float = 1.0, min_dist: float = 0.1
+                   ) -> Tuple[float, float]:
+    """Fit the differentiable curve 1/(1 + a d^{2b}) to the desired
+    exp-falloff membership (umap-learn's find_ab_params)."""
+    from scipy.optimize import curve_fit
+
+    def curve(x, a, b):
+        return 1.0 / (1.0 + a * x ** (2 * b))
+
+    xv = np.linspace(0, spread * 3, 300)
+    yv = np.zeros_like(xv)
+    yv[xv < min_dist] = 1.0
+    yv[xv >= min_dist] = np.exp(-(xv[xv >= min_dist] - min_dist) / spread)
+    params, _ = curve_fit(curve, xv, yv)
+    return float(params[0]), float(params[1])
+
+
+def knn_graph(x: np.ndarray, n_neighbors: int, block: int = 1024):
+    """Exact kNN (excluding self): returns (indices, distances) of shape
+    (N, k). Distances are Euclidean. Blocked so the (block, N) distance
+    tile — not the full N² matrix — is the working set."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    x = np.asarray(x, np.float32)
+    n = len(x)
+    k = min(n_neighbors, n - 1)
+    xd = jnp.asarray(x)
+    sq = jnp.sum(xd * xd, axis=1)
+
+    @jax.jit
+    def block_topk(rows, row_sq):
+        d2 = row_sq[:, None] - 2.0 * rows @ xd.T + sq[None, :]
+        neg, idx = lax.top_k(-d2, k + 1)  # includes self at d=0
+        return -neg, idx
+
+    inds = np.empty((n, k), np.int64)
+    dists = np.empty((n, k), np.float64)
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        d2, idx = block_topk(xd[s:e], sq[s:e])
+        d2 = np.maximum(np.asarray(d2, np.float64), 0.0)
+        idx = np.asarray(idx)
+        # drop self (distance-0 column; fall back to masking by index in
+        # case of exact duplicates putting self later in the tie order)
+        for r in range(e - s):
+            row_idx, row_d = idx[r], d2[r]
+            keep = row_idx != (s + r)
+            if keep.sum() > k:
+                keep[np.flatnonzero(keep)[-1]] = False
+            inds[s + r] = row_idx[keep][:k]
+            dists[s + r] = row_d[keep][:k]
+    return inds, np.sqrt(dists)
+
+
+def smooth_knn(dists: np.ndarray, local_connectivity: float = 1.0
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-point (rho, sigma): rho = distance to the nearest (nonzero)
+    neighbor; sigma solved by bisection so
+    sum_j exp(-max(0, d_ij - rho_i)/sigma_i) = log2(k)."""
+    n, k = dists.shape
+    target = np.log2(k)
+    rho = np.zeros(n)
+    nonzero_counts = (dists > 0).sum(axis=1)
+    for i in range(n):
+        nz = dists[i][dists[i] > 0]
+        if len(nz):
+            rho[i] = nz[0] if local_connectivity <= 1 else nz[
+                min(int(local_connectivity) - 1, len(nz) - 1)]
+    lo = np.zeros(n)
+    hi = np.full(n, np.inf)
+    mid = np.ones(n)
+    d_shift = np.maximum(dists - rho[:, None], 0.0)
+    for _ in range(_BISECT_ITERS):
+        psum = np.exp(-d_shift / mid[:, None]).sum(axis=1)
+        err = psum - target
+        if np.all(np.abs(err) < _SMOOTH_K_TOL):
+            break
+        too_high = err > 0
+        hi = np.where(too_high, mid, hi)
+        lo = np.where(too_high, lo, mid)
+        mid = np.where(too_high, (lo + hi) / 2,
+                       np.where(np.isinf(hi), mid * 2, (lo + hi) / 2))
+    # umap's MIN_K_DIST_SCALE floor against degenerate all-equal rows
+    mean_d = dists.mean() or 1.0
+    sigma = np.maximum(mid, 1e-3 * mean_d)
+    sigma[nonzero_counts == 0] = 1.0
+    return rho, sigma
+
+
+def fuzzy_simplicial_set(x: np.ndarray, n_neighbors: int):
+    """kNN -> memberships -> t-conorm symmetrization. Returns a
+    scipy.sparse CSR of pairwise membership strengths."""
+    from scipy import sparse
+
+    inds, dists = knn_graph(x, n_neighbors)
+    rho, sigma = smooth_knn(dists)
+    w = np.exp(-np.maximum(dists - rho[:, None], 0.0) / sigma[:, None])
+    n, k = inds.shape
+    rows = np.repeat(np.arange(n), k)
+    mat = sparse.coo_matrix((w.ravel(), (rows, inds.ravel())),
+                            shape=(n, n)).tocsr()
+    t = mat.T.tocsr()
+    prod = mat.multiply(t)
+    return (mat + t - prod).tocsr()
+
+
+def spectral_init(graph, n_components: int, seed: int) -> np.ndarray:
+    """Symmetric-normalized-Laplacian eigenvectors (umap's 'spectral'
+    init), scaled to the ±10 box with a little noise; PCA-of-graph
+    fallback when the sparse eigensolver fails to converge."""
+    from scipy import sparse
+    from scipy.sparse import linalg as slinalg
+
+    n = graph.shape[0]
+    rng = np.random.RandomState(seed)
+    try:
+        deg = np.asarray(graph.sum(axis=1)).ravel()
+        d_inv = sparse.diags(1.0 / np.sqrt(np.maximum(deg, 1e-12)))
+        lap = sparse.identity(n) - d_inv @ graph @ d_inv
+        k = n_components + 1
+        _, vecs = slinalg.eigsh(lap, k=k, sigma=0.0, which="LM",
+                                maxiter=n * 20,
+                                v0=np.ones(n) / np.sqrt(n))
+        emb = vecs[:, 1:k]
+    except Exception as e:  # ArpackNoConvergence / singular factorization
+        log.warning("spectral init failed (%s); PCA fallback", e)
+        dense = np.asarray(graph.todense())
+        dense -= dense.mean(axis=0)
+        _, _, vt = np.linalg.svd(dense, full_matrices=False)
+        emb = dense @ vt[:n_components].T
+    expansion = 10.0 / max(np.abs(emb).max(), 1e-12)
+    emb = emb * expansion
+    return (emb + rng.normal(scale=1e-4, size=emb.shape)).astype(np.float32)
+
+
+def _optimize(emb0, heads, tails, weights, a, b, n_epochs,
+              negative_sample_rate, learning_rate, seed):
+    """Batched negative-sampling SGD (see module docstring, item 4)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = emb0.shape[0]
+    heads = jnp.asarray(heads, jnp.int32)
+    tails = jnp.asarray(tails, jnp.int32)
+    wts = jnp.asarray(weights / weights.max(), jnp.float32)[:, None]
+    key = jax.random.PRNGKey(seed)
+    a = jnp.float32(a)
+    b = jnp.float32(b)
+
+    def attract_grad(d2):
+        # d/d(y_h) of log Phi(d), Phi = 1/(1 + a d^{2b})
+        g = (-2.0 * a * b * jnp.power(jnp.maximum(d2, 1e-12), b - 1.0)
+             / (1.0 + a * jnp.power(jnp.maximum(d2, 1e-12), b)))
+        return g
+
+    def repulse_grad(d2):
+        g = (2.0 * b
+             / ((0.001 + d2) * (1.0 + a * jnp.power(
+                 jnp.maximum(d2, 1e-12), b))))
+        return g
+
+    def epoch(i, carry):
+        emb, key = carry
+        alpha = learning_rate * (1.0 - i / n_epochs)
+        yh = emb[heads]
+        yt = emb[tails]
+        diff = yh - yt
+        d2 = jnp.sum(diff * diff, axis=1, keepdims=True)
+        g_att = jnp.clip(attract_grad(d2) * diff,
+                         -_GRAD_CLIP, _GRAD_CLIP) * wts
+        upd = jnp.zeros_like(emb)
+        upd = upd.at[heads].add(g_att)
+        upd = upd.at[tails].add(-g_att)
+
+        key, sub = jax.random.split(key)
+        negs = jax.random.randint(
+            sub, (len(heads) * negative_sample_rate,), 0, n)
+        hrep = jnp.repeat(heads, negative_sample_rate)
+        diff_n = emb[hrep] - emb[negs]
+        d2n = jnp.sum(diff_n * diff_n, axis=1, keepdims=True)
+        not_self = (hrep != negs)[:, None]
+        g_rep = jnp.clip(repulse_grad(d2n) * diff_n,
+                         -_GRAD_CLIP, _GRAD_CLIP)
+        g_rep = g_rep * not_self * jnp.repeat(wts, negative_sample_rate,
+                                              axis=0)
+        upd = upd.at[hrep].add(g_rep)
+        return emb + alpha * upd, key
+
+    emb, _ = lax.fori_loop(0, n_epochs, epoch,
+                           (jnp.asarray(emb0, jnp.float32), key))
+    return np.asarray(jax.device_get(emb))
+
+
+class NativeUMAP:
+    """Drop-in for the slice of ``umap.UMAP`` the pipeline uses
+    (reduce/umap_wrap.py documents that contract): keyword construction
+    with ``a``/``b``/``n_neighbors``, and ``fit_transform(X) -> (N, 2)``.
+    Fit-only, like the reference stage (run_dim_reduction.py:255-256)."""
+
+    def __init__(self, a: Optional[float] = None, b: Optional[float] = None,
+                 n_neighbors: int = 15, n_components: int = 2,
+                 min_dist: float = 0.1, spread: float = 1.0,
+                 n_epochs: Optional[int] = None,
+                 negative_sample_rate: int = 5, learning_rate: float = 1.0,
+                 random_state: int = 0):
+        if (a is None) != (b is None):
+            raise ValueError("a and b must be given together (umap-learn "
+                             "contract; see reduce/umap_wrap.py)")
+        if a is None:
+            a, b = find_ab_params(spread, min_dist)
+        self.a, self.b = float(a), float(b)
+        self.n_neighbors = int(n_neighbors)
+        self.n_components = int(n_components)
+        self.n_epochs = n_epochs
+        self.negative_sample_rate = int(negative_sample_rate)
+        self.learning_rate = float(learning_rate)
+        self.random_state = int(random_state)
+        self.embedding_ = None
+
+    def fit_transform(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, np.float32)
+        if x.ndim != 2:
+            raise ValueError(f"expected (N, D) data, got {x.shape}")
+        n = len(x)
+        if n <= self.n_components + 1:
+            raise ValueError(f"need more than {self.n_components + 1} "
+                             f"samples, got {n}")
+        graph = fuzzy_simplicial_set(x, self.n_neighbors)
+        n_epochs = self.n_epochs or (500 if n <= 10000 else 200)
+        # umap drops edges too weak to ever fire within the epoch budget
+        keep = graph.data >= graph.data.max() / float(n_epochs)
+        coo = graph.tocoo()
+        heads, tails, wts = (coo.row[keep], coo.col[keep], coo.data[keep])
+        emb0 = spectral_init(graph, self.n_components, self.random_state)
+        self.embedding_ = _optimize(
+            emb0, heads, tails, wts, self.a, self.b, n_epochs,
+            self.negative_sample_rate, self.learning_rate,
+            self.random_state)
+        return self.embedding_

@@ -41,15 +41,34 @@ from .pca import zoom_axis
 log = logging.getLogger(__name__)
 
 
-def _require_umap():
+class _NativeUMAPModule:
+    """umap-learn-shaped shim exposing the native fit (reduce/umap_native.py)
+    under the ``umap.UMAP`` constructor contract this module documents."""
+
+    @staticmethod
+    def UMAP(**kwargs):
+        from .umap_native import NativeUMAP
+
+        return NativeUMAP(**kwargs)
+
+
+def _require_umap(allow_native: bool = True):
     try:
         import umap  # noqa: F401
 
         return umap
     except ImportError as e:
+        if allow_native:
+            log.warning(
+                "umap-learn is not installed — using the native JAX/numpy "
+                "UMAP fit (reduce/umap_native.py: same fuzzy-simplicial-set "
+                "construction; batched negative-sampling SGD, deterministic "
+                "under seed). Install umap-learn>=0.5.1 for the exact "
+                "upstream optimizer.")
+            return _NativeUMAPModule
         raise ImportError(
-            "umap-learn is required for UMAP dim reduction; install it or "
-            "use method='pca'") from e
+            "umap-learn is required for UMAP transform of pre-0.5 model "
+            "pickles; install it or use method='pca'") from e
 
 
 def fit_umap(train_data: np.ndarray, weights_dir: str, labels,

@@ -71,35 +71,36 @@ def read_keras_layer_weights(path: str) -> Dict[str, Dict[str, np.ndarray]]:
     return layers
 
 
-def import_keras_unet(path: str, n_channels: int = 2, n_classes: int = 3,
-                      decoder_filters=(256, 128, 64, 32, 16)
-                      ) -> Tuple[dict, dict]:
-    """Load a reference ``.h5`` (or exporter ``.npz``) into a
-    (params, state) pytree for ``KerasUNet``. Every expected layer must be
-    present with matching shapes; unexpected extra layers are rejected so a
-    2.5-D multislice checkpoint can't silently load as a 2-D model."""
+def is_multislice_weight_file(path: str) -> bool:
+    """True when the file carries the 2.5-D ``SegmentWithMultipleSlice``
+    head layers (reference NNsegmentation/models.py:252-253)."""
+    layers = read_keras_layer_weights(path)
+    return "post_conv" in layers and "pred_head" in layers
+
+
+def _materialized_tree(net):
+    """Concrete (params, state) arrays with the net's init shapes to
+    overlay imported weights into (eval_shape gives only structs;
+    gamma-of-bn_data keeps ones, everything else is replaced)."""
     import jax
 
-    from ..models.unet_keras import KerasUNet
-
-    net = KerasUNet(n_channels=n_channels, n_classes=n_classes,
-                    decoder_filters=tuple(decoder_filters))
-    params, state = jax.eval_shape(lambda: net.init(
-        jax.random.PRNGKey(0)))
-    # materialize concrete arrays to overlay into (eval_shape gives only
-    # structs; gamma-of-bn_data keeps ones, everything else is replaced)
+    params, state = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0)))
     params = jax.tree_util.tree_map(
         lambda s: np.ones(s.shape, s.dtype), params)
     state = jax.tree_util.tree_map(
         lambda s: np.zeros(s.shape, s.dtype), state)
+    return params, state
 
-    layers = read_keras_layer_weights(path)
-    seen = set()
+
+def _overlay_layers(params, state, layers, path: str, kind: str) -> set:
+    """Fill the flat layer-name pytree from parsed .h5 layers in place;
+    returns the set of consumed layer names. Every expected layer must be
+    present with matching shapes."""
 
     def take(layer: str, wname: str, expect_shape) -> np.ndarray:
         if layer not in layers:
             raise ValueError(f"keras weight file {path} is missing layer "
-                             f"'{layer}' — not a 2-D Segment checkpoint?")
+                             f"'{layer}' — not a {kind} checkpoint?")
         if wname not in layers[layer]:
             raise ValueError(f"layer '{layer}' has no weight '{wname}' "
                              f"(found {sorted(layers[layer])})")
@@ -112,6 +113,7 @@ def import_keras_unet(path: str, n_channels: int = 2, n_classes: int = 3,
         seen.add(layer)
         return arr
 
+    seen: set = set()
     for name, p in params.items():
         if "kernel" in p:  # conv layer
             p["kernel"] = take(name, "kernel", p["kernel"].shape)
@@ -124,20 +126,119 @@ def import_keras_unet(path: str, n_channels: int = 2, n_classes: int = 3,
             s = state[name]
             s["mean"] = take(name, "moving_mean", s["mean"].shape)
             s["var"] = take(name, "moving_variance", s["var"].shape)
+    return seen
 
+
+def import_keras_unet(path: str, n_channels: int = 2, n_classes: int = 3,
+                      decoder_filters=(256, 128, 64, 32, 16)
+                      ) -> Tuple[dict, dict]:
+    """Load a reference ``.h5`` (or exporter ``.npz``) into a
+    (params, state) pytree for ``KerasUNet``. Every expected layer must be
+    present with matching shapes; unexpected extra layers are rejected so a
+    2.5-D multislice checkpoint can't silently load as a 2-D model (use
+    ``import_keras_unet_multislice`` for those)."""
+    from ..models.unet_keras import KerasUNet
+
+    net = KerasUNet(n_channels=n_channels, n_classes=n_classes,
+                    decoder_filters=tuple(decoder_filters))
+    params, state = _materialized_tree(net)
+    layers = read_keras_layer_weights(path)
+    seen = _overlay_layers(params, state, layers, path, "2-D Segment")
+
+    extra = {l for l, w in layers.items() if w} - seen
+    if extra:
+        hint = (" — this looks like a 2.5-D SegmentWithMultipleSlice "
+                "checkpoint; use import_keras_unet_multislice / "
+                "SegmentWithMultipleSlice.load"
+                if {"post_conv", "pred_head"} <= extra else
+                " — a plain 2-D Segment checkpoint has none")
+        raise ValueError(
+            f"keras weight file {path} has unexpected weighted layers "
+            f"{sorted(extra)}{hint}")
+    return params, state
+
+
+def multislice_dims_from_file(path: str) -> Tuple[int, int, int, int]:
+    """Infer (n_channels, n_slices, unet_feat, n_classes) from a 2.5-D
+    checkpoint's own kernels: pre_conv in-channels, post_conv in/out (the
+    merge folds Z*unet_feat into channels, reference layers.py:51-86) and
+    pred_head out-channels."""
+    layers = read_keras_layer_weights(path)
+    for need in ("pre_conv", "post_conv", "pred_head", "final_conv"):
+        if need not in layers or "kernel" not in layers[need]:
+            raise ValueError(f"{path}: missing layer '{need}' — not a "
+                             "SegmentWithMultipleSlice checkpoint")
+    n_channels = int(layers["pre_conv"]["kernel"].shape[2])
+    unet_feat = int(layers["final_conv"]["kernel"].shape[3])
+    merged_in = int(layers["post_conv"]["kernel"].shape[2])
+    if merged_in % unet_feat:
+        raise ValueError(
+            f"{path}: post_conv in-channels {merged_in} is not a multiple "
+            f"of the U-Net feature width {unet_feat}")
+    n_slices = merged_in // unet_feat
+    n_classes = int(layers["pred_head"]["kernel"].shape[3])
+    return n_channels, n_slices, unet_feat, n_classes
+
+
+def import_keras_unet_multislice(path: str, n_channels: int = None,
+                                 n_slices: int = None, unet_feat: int = None,
+                                 n_classes: int = None,
+                                 decoder_filters=(256, 128, 64, 32, 16)
+                                 ) -> Tuple[dict, dict]:
+    """Load a reference 2.5-D ``SegmentWithMultipleSlice`` ``.h5``
+    (reference NNsegmentation/models.py:206-258): the shared U-Net body
+    (classes=unet_feat) plus the ``post_conv``/``pred_head`` 1x1 heads.
+    Dimensions default to what the checkpoint itself encodes
+    (``multislice_dims_from_file``). Returns a (params, state) pytree for
+    ``seg.model.SegmentWithMultipleSlice`` with a ``KerasUNet`` body —
+    the body params/state keyed by Keras layer name, plus ``post_conv`` /
+    ``pred_head`` conv entries."""
+    from ..models.unet_keras import KerasUNet
+    from ..nn import functional as F
+
+    fc, fz, ff, fk = multislice_dims_from_file(path)
+    n_channels = fc if n_channels is None else n_channels
+    n_slices = fz if n_slices is None else n_slices
+    unet_feat = ff if unet_feat is None else unet_feat
+    n_classes = fk if n_classes is None else n_classes
+    if (fc, fz, ff, fk) != (n_channels, n_slices, unet_feat, n_classes):
+        raise ValueError(
+            f"{path} encodes (n_channels, n_slices, unet_feat, n_classes)="
+            f"{(fc, fz, ff, fk)} but the caller requested "
+            f"{(n_channels, n_slices, unet_feat, n_classes)}")
+
+    net = KerasUNet(n_channels=n_channels, n_classes=unet_feat,
+                    decoder_filters=tuple(decoder_filters))
+    params, state = _materialized_tree(net)
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    params["post_conv"] = jax.tree_util.tree_map(
+        np.asarray, F.init_conv(key, 1, 1, n_slices * unet_feat, unet_feat))
+    params["pred_head"] = jax.tree_util.tree_map(
+        np.asarray, F.init_conv(key, 1, 1, unet_feat, n_classes))
+
+    layers = read_keras_layer_weights(path)
+    seen = _overlay_layers(params, state, layers, path,
+                           "SegmentWithMultipleSlice")
     extra = {l for l, w in layers.items() if w} - seen
     if extra:
         raise ValueError(
             f"keras weight file {path} has unexpected weighted layers "
-            f"{sorted(extra)} — a plain 2-D Segment checkpoint has none")
+            f"{sorted(extra)} beyond the 2.5-D graph")
     return params, state
 
 
 def verify_against_golden(net, params, state, golden_path: str,
-                          atol: float = 2e-3) -> float:
+                          atol: float = 2e-3,
+                          min_class_agreement: float = 0.999) -> float:
     """Check the imported model against golden activations from
     ``tools/export_keras_unet.py`` (keys ``golden_input``/``golden_logits``
-    in the .npz). Returns the max abs logit deviation; raises if > atol.
+    in the .npz). Returns the max abs logit deviation; raises if > atol OR
+    if the predicted-class (argmax over the class axis) agreement with the
+    goldens falls below ``min_class_agreement`` — the scalar logit
+    tolerance alone cannot catch class-flipping regressions at pixels
+    whose top-two logits sit within atol of each other.
 
     Default atol covers the measured float32 accumulation spread between
     backends: ~4.8e-4 logit deviation vs a float64 oracle on TPU v5e
@@ -153,9 +254,17 @@ def verify_against_golden(net, params, state, golden_path: str,
         x = f["golden_input"].astype(np.float32)
         want = f["golden_logits"].astype(np.float32)
     got, _ = jax.jit(lambda p, s, x: net.apply(p, s, x))(params, state, x)
-    dev = float(np.max(np.abs(np.asarray(got) - want)))
+    got = np.asarray(got)
+    dev = float(np.max(np.abs(got - want)))
     if dev > atol:
         raise AssertionError(
             f"imported model deviates from TF goldens by {dev:.3e} "
             f"(atol {atol:.1e})")
+    # class axis: (B, K, H, W) logits
+    agreement = float(np.mean(got.argmax(axis=1) == want.argmax(axis=1)))
+    if agreement < min_class_agreement:
+        raise AssertionError(
+            f"imported model's predicted classes agree with the TF goldens "
+            f"on only {agreement:.4%} of pixels "
+            f"(min {min_class_agreement:.4%}) — class-flipping import bug")
     return dev

@@ -365,6 +365,36 @@ class SegmentWithMultipleSlice(Segment):
             k3, 1, 1, self.unet_feat, self.n_classes)
         return params, state
 
+    def load(self, path: str) -> None:
+        """Load weights: orbax checkpoints (native), or reference-trained
+        2.5-D Keras ``.h5`` files (NNsegmentation/models.py:206-258) — the
+        latter switch the body to the Keras-architecture U-Net and import
+        the shared body (classes=unet_feat) plus the post_conv/pred_head
+        1x1 heads weight-for-weight (seg/keras_import.py), so reference
+        users' trained multislice models migrate without retraining."""
+        from .keras_import import is_keras_weight_file
+
+        if is_keras_weight_file(path):
+            from ..models.unet_keras import KerasUNet
+            from .keras_import import (import_keras_unet_multislice,
+                                       multislice_dims_from_file)
+
+            fc, fz, ff, fk = multislice_dims_from_file(path)
+            if (fc, fz, fk) != (self.n_channels, self.n_slices,
+                                self.n_classes):
+                raise ValueError(
+                    f"{path} encodes (n_channels, n_slices, n_classes)="
+                    f"{(fc, fz, fk)} but this model was built with "
+                    f"{(self.n_channels, self.n_slices, self.n_classes)}")
+            self.unet_feat = ff
+            self.net = KerasUNet(n_channels=self.n_channels,
+                                 n_classes=self.unet_feat)
+            self.params, self.state = import_keras_unet_multislice(path)
+            # retrace against the new network/pytree structure
+            self._predict_fn = jax.jit(self._predict_impl)
+            return
+        super().load(path)
+
     def _apply_logits(self, params, state, x, train):
         from ..nn import functional as F
         from ..models.common import nchw_to_nhwc, nhwc_to_nchw

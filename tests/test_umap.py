@@ -160,12 +160,23 @@ def test_umap_transform_filename_contract(tmp_path):
     assert not (odir / "C5_latent_space_after_pca_model.pkl").exists()
 
 
-def test_missing_umap_raises_clear_error(tmp_path, monkeypatch):
-    monkeypatch.setitem(sys.modules, "umap", None)  # force ImportError
+def test_missing_umap_falls_back_to_native(tmp_path, monkeypatch):
+    """Without umap-learn, fit_umap runs the NATIVE fit
+    (reduce/umap_native.py) under the same grid/naming contract, so the
+    stage executes end-to-end in offline environments (VERDICT r4 item 5).
+    The pre-0.5 transform path still requires the real package."""
+    monkeypatch.setitem(sys.modules, "umap", None)  # umap-learn absent
 
-    import pytest
-
+    from dynamorph_tpu.io.pickles import load_pickle
     from dynamorph_tpu.reduce.umap_wrap import fit_umap
 
-    with pytest.raises(ImportError, match="umap-learn is required"):
-        fit_umap(np.zeros((4, 4)), str(tmp_path), np.zeros(4), ["c"])
+    data = np.random.RandomState(0).rand(40, 6).astype(np.float32)
+    labels = np.arange(40) % 2
+    fit_umap(data, str(tmp_path), labels, conditions=["a", "b"],
+             n_nbrs=(5,))
+    p = tmp_path / "umap_nbr5_a1.58_b0.9.pkl"
+    assert p.exists()
+    emb, labs = load_pickle(str(p))
+    assert emb.shape == (40, 2) and np.isfinite(emb).all()
+    np.testing.assert_array_equal(labs, labels)
+    assert (tmp_path / "UMAP.png").exists()
