@@ -148,8 +148,10 @@ def process_site_seg_patch_fused(
         dbscan_thr: Tuple[int, int] = (10, 250),
         save_probabilities: bool = True,
         out_prob_path: Optional[str] = None, device=None,
+        devices: Optional[Sequence] = None,
         lookahead: bool = True, storage: str = "pickle",
-        cluster_workers: Optional[int] = None) -> None:
+        cluster_workers: Optional[int] = None,
+        frame_hook=None) -> None:
     """Segment + cluster + extract patches for one site with the frame and
     probability map resident in HBM throughout (see module docstring).
 
@@ -159,6 +161,22 @@ def process_site_seg_patch_fused(
     ``device``: optional jax.Device to pin this site's programs to —
     site-parallel workers give each site its own chip (see
     ``seg_patch_fused``); None uses the default device.
+
+    ``devices``: optional LIST of jax.Devices — frames round-robin across
+    them (frame t runs on ``devices[t % len]``), the TPU-native answer to
+    the reference's per-t serial loop being embarrassingly parallel
+    (instance_clustering.py:170-177). Every per-frame program and the
+    model params are cached per device; clustering still consumes frames
+    in order, so artifacts are identical for any device count. Overrides
+    ``device``. The in-flight window is raised to cover the device fan-out
+    so every chip has a frame queued.
+
+    ``frame_hook``: optional callable
+    ``(t_point, patch_out, kept_cells, frame_device)`` invoked on the main
+    thread right after the frame's patch program is dispatched, while the
+    padded patch buckets are still device-resident — the attachment point
+    for the streaming encode path (pipeline/stream.py), which consumes
+    patches from HBM instead of re-reading the stacks pickles.
 
     ``lookahead``: enqueue uploads + U-Net dispatches ahead of the host work
     on the current frame (software pipelining). HBM holds
@@ -192,10 +210,15 @@ def process_site_seg_patch_fused(
     patch_ch = tuple(int(c) for c in patch_channels)
     seg_frame, patch_inputs = _site_programs(
         model, seg_ch, patch_ch, float(fg_thr), (int(x_size), int(y_size)))
-    params, state = _params_on_device(model, device)
+    if devices is None:
+        devices = [device]
+    devices = list(devices) or [None]
 
-    def put(x):
-        return jax.device_put(x, device) if device is not None \
+    def frame_device(t_point):
+        return devices[t_point % len(devices)]
+
+    def put(x, dev):
+        return jax.device_put(x, dev) if dev is not None \
             else jax.device_put(x)
 
     from ..io.prefetch import AsyncWriter
@@ -206,7 +229,9 @@ def process_site_seg_patch_fused(
 
     def dispatch_seg(t_point):
         raw_u16 = np.ascontiguousarray(image_stack[t_point, :, 0])
-        return seg_frame(params, state, put(raw_u16))
+        dev = frame_device(t_point)
+        params, state = _params_on_device(model, dev)
+        return seg_frame(params, state, put(raw_u16, dev))
 
     if cluster_workers is None:
         cluster_workers = max(1, min(3, os.cpu_count() or 1))
@@ -216,7 +241,9 @@ def process_site_seg_patch_fused(
     # lookahead=False keeps the strictly serial schedule with clustering
     # inline — no frame-level parallelism, so the native solver keeps the
     # host's FULL core budget instead of a 1/cluster_workers slice.
-    window = max(1, int(cluster_workers)) if lookahead else 0
+    # With frames fanned out over several devices, the window must at
+    # least cover the fan-out or the later chips would sit idle.
+    window = max(1, int(cluster_workers), len(devices)) if lookahead else 0
     # split the host cores between frame-level (pool) and point-level
     # (native core test) parallelism: N workers each spawning the solver's
     # independent default (up to 8 threads) would oversubscribe the host
@@ -274,6 +301,7 @@ def process_site_seg_patch_fused(
 
             patch_out = None
             if kept_cells:
+                dev = frame_device(t_point)
                 n = len(positions)
                 coord_bucket = min(_COORD_BUCKET, x_size * y_size)
                 n_pad = _round_up(max(n, 1), coord_bucket)
@@ -289,10 +317,12 @@ def process_site_seg_patch_fused(
                 coords[:n] = positions
                 labs[:n] = positions_labels
                 lab_dev, raw2d_dev, bg_fill = patch_inputs(
-                    raw_f, probs, put(coords), put(labs))
+                    raw_f, probs, put(coords, dev), put(labs, dev))
                 patch_out = dispatch_cell_patches(
                     raw2d_dev, lab_dev, bg_fill, kept_cells,
                     window_size=window_size, cell_bucket=cell_bucket)
+                if frame_hook is not None:
+                    frame_hook(t_point, patch_out, kept_cells, dev)
 
             # the patch-bucket download, pickle assembly and write — and
             # the probability-map download — all drain on the bounded
@@ -356,12 +386,16 @@ def seg_patch_fused(raw_folder: str, supp_folder: str,
     the completion marker) already exists — same per-site resume semantics
     as the staged ``instance_segmentation`` driver.
 
-    ``site_parallelism``: number of sites processed concurrently, each
-    pinned to its own local device (worker threads; the TPU-native analog
-    of the reference's process-per-GPU fan-out, run_segmentation.py:74-84).
-    Default: min(local device count, number of sites) — one worker per
-    chip. Host stages (DBSCAN, pickle writes) release the GIL or run on
-    per-site writer threads, so device compute genuinely overlaps.
+    ``site_parallelism``: number of sites processed concurrently (worker
+    threads; the TPU-native analog of the reference's process-per-GPU
+    fan-out, run_segmentation.py:74-84). Default: min(local device count,
+    number of sites). The local devices are split round-robin into
+    ``site_parallelism`` groups and each site FANS ITS FRAMES OUT over its
+    group (frame t on group[t % len] — see ``process_site_seg_patch_fused``
+    ``devices``), so fewer sites than chips no longer leaves chips idle:
+    1 site on a v5e-8 host uses all 8 chips frame-parallel. Host stages
+    (DBSCAN, pickle writes) release the GIL or run on per-site writer
+    threads, so device compute genuinely overlaps.
     """
     import jax
 
@@ -384,7 +418,7 @@ def seg_patch_fused(raw_folder: str, supp_folder: str,
         else min(len(devices), len(sites))
     k = max(1, min(k, len(devices), max(len(sites), 1)))
 
-    def run_site(site, device):
+    def run_site(site, site_devices):
         site_path = os.path.join(raw_folder, f"{site}.npy")
         if not os.path.exists(site_path):
             log.error("Site data not found %s", site_path)
@@ -408,35 +442,37 @@ def seg_patch_fused(raw_folder: str, supp_folder: str,
                     save_fig=config.patch.save_fig,
                     skip_boundary=config.patch.skip_boundary,
                     storage=getattr(config.patch, "storage", "pickle"),
-                    device=device, **kwargs)
+                    devices=site_devices, **kwargs)
         except Exception as ex:
             log.error(ex)
             log.error("Error in fused seg->patch for site %s", site)
 
     if k <= 1:
         for site in sites:
-            run_site(site, None)
+            run_site(site, devices)  # frame-parallel over ALL local chips
         return
-    # free-device checkout: each task takes whichever device is idle (a
-    # static index->device map can pile two long sites on one chip while
-    # others idle). First-compiles happen once PER DEVICE (jit caches one
-    # executable per committed device), concurrently across workers.
+    # free-group checkout: the local devices split round-robin into k
+    # groups (each site fans frames over its group); each task takes
+    # whichever group is idle (a static index->group map can pile two long
+    # sites on one group while others idle). First-compiles happen once
+    # PER DEVICE (jit caches one executable per committed device),
+    # concurrently across workers.
     from concurrent.futures import ThreadPoolExecutor
     from queue import Queue
 
     free: Queue = Queue()
-    for d in devices[:k]:
-        free.put(d)
+    for g in range(k):
+        free.put(devices[g::k])
 
-    def run_site_on_free_device(site):
-        dev = free.get()
+    def run_site_on_free_group(site):
+        group = free.get()
         try:
-            run_site(site, dev)
+            run_site(site, group)
         finally:
-            free.put(dev)
+            free.put(group)
 
     with ThreadPoolExecutor(max_workers=k) as pool:
-        futs = [pool.submit(run_site_on_free_device, site)
+        futs = [pool.submit(run_site_on_free_group, site)
                 for site in sites]
         for f in futs:
             f.result()

@@ -436,3 +436,94 @@ def test_fused_site_parallel_matches_sequential(tmp_path, monkeypatch):
             assert a.keys() == b.keys()
             for key in a:
                 np.testing.assert_array_equal(a[key]["mat"], b[key]["mat"])
+
+
+def test_fused_multidevice_frames_match_single(tmp_path):
+    """Frame round-robin over a 4-device mesh slice (the idle-silicon fix,
+    VERDICT r4 item 2) produces artifacts identical to the single-device
+    fused run: clustering consumes frames in order regardless of which
+    chip computed them."""
+    import jax
+
+    devices = jax.devices()[:4]
+    assert len(devices) == 4  # conftest forces the 8-device CPU mesh
+
+    single_site = _make_site(tmp_path / "one", "C5-Site_0")
+    multi_site = _make_site(tmp_path / "many", "C5-Site_0")
+    supp_one = str(tmp_path / "one" / "supp")
+    supp_many = str(tmp_path / "many" / "supp")
+    _run_fused(single_site, supp_one)
+    _run_fused(multi_site, supp_many, devices=devices)
+
+    np.testing.assert_array_equal(
+        np.load(os.path.splitext(single_site)[0] + "_NNProbabilities.npy"),
+        np.load(os.path.splitext(multi_site)[0] + "_NNProbabilities.npy"))
+    cp_1 = load_pickle(os.path.join(supp_one, "cell_positions.pkl"))
+    cp_n = load_pickle(os.path.join(supp_many, "cell_positions.pkl"))
+    assert cp_1.keys() == cp_n.keys()
+    total = 0
+    for t in cp_1:
+        assert len(cp_1[t]) == len(cp_n[t])
+        total += len(cp_1[t])
+        for (ia, pa), (ib, pb) in zip(cp_1[t], cp_n[t]):
+            assert ia == ib
+            np.testing.assert_array_equal(pa, pb)
+    assert total > 0
+    for t in range(3):
+        a = _stack_by_basename(supp_one, t)
+        b = _stack_by_basename(supp_many, t)
+        assert a.keys() == b.keys() and len(a) > 0
+        for k in a:
+            np.testing.assert_array_equal(a[k]["mat"], b[k]["mat"])
+            np.testing.assert_array_equal(a[k]["masked_mat"],
+                                          b[k]["masked_mat"])
+
+
+def test_fused_driver_splits_devices_into_groups(tmp_path, monkeypatch):
+    """seg_patch_fused hands each site worker a round-robin device GROUP
+    (k=2 workers on the 8-device mesh -> 4 devices per site), and a single
+    site gets the whole mesh."""
+    from dynamorph_tpu.config.schema import PipelineConfig
+    from dynamorph_tpu.pipeline import fused as fused_mod
+    import dynamorph_tpu.seg.model as segmod
+
+    seen = []
+    real = fused_mod.process_site_seg_patch_fused
+
+    def spy(site_path, model, supp, **kw):
+        seen.append(list(kw.get("devices") or []))
+        return real(site_path, model, supp, **kw)
+
+    class _StubSegment(StubSeg):
+        def __init__(self, **kw):
+            pass
+
+        def load(self, path):
+            pass
+
+    monkeypatch.setattr(segmod, "Segment", _StubSegment)
+    monkeypatch.setattr(fused_mod, "process_site_seg_patch_fused", spy)
+    config = PipelineConfig()
+    config.segmentation_inference.channels = [0, 1]
+    config.patch.channels = [0, 1]
+    config.patch.window_size = 32
+    config.segmentation_inference.weights = "unused"
+
+    sites = ["C5-Site_0", "C5-Site_1"]
+    for s in sites:
+        _make_site(tmp_path, s)
+    fused_mod.seg_patch_fused(str(tmp_path), str(tmp_path / "s"), sites,
+                              config, site_parallelism=2, **CLUSTER)
+    assert len(seen) == 2
+    import jax
+
+    all_devs = jax.devices()
+    assert sorted(d.id for g in seen for d in g) == \
+        sorted(d.id for d in all_devs)
+    assert all(len(g) == len(all_devs) // 2 for g in seen)
+
+    seen.clear()
+    fused_mod.seg_patch_fused(str(tmp_path), str(tmp_path / "s1"),
+                              ["C5-Site_0"], config, site_parallelism=1,
+                              **CLUSTER)
+    assert len(seen) == 1 and len(seen[0]) == len(all_devs)
