@@ -90,6 +90,9 @@ class LatentEncodingConfig:
     channel_mean: Optional[List[float]] = None
     channel_std: Optional[List[float]] = None
     network: str = "VQ_VAE_z16"
+    # model input H=W; the reference hardcodes the assemble-stage resize to
+    # 128 (vq_vae_supp.py:114-146) — kept as the default here
+    input_size: int = 128
     num_classes: int = 3
     num_hiddens: int = 16
     num_residual_hiddens: int = 32
@@ -99,6 +102,13 @@ class LatentEncodingConfig:
     # *_latent_space*.npz (float32) instead of the reference float64 pickles;
     # all readers (process/dim_reduction/training) accept both formats.
     storage: str = "pickle"
+    # dynamorph_tpu extension: with patch.fused, stream extracted patches
+    # straight from HBM into the encoder (pipeline/stream.py) — assemble's
+    # 256->128 resize runs on device and process_VAE's encode happens in
+    # the same pass over the raw stacks; static_patches / latent pickles
+    # become async side-effects off the compute path. Latents are
+    # bit-identical to the staged path's.
+    streaming: bool = False
 
 
 @dataclasses.dataclass

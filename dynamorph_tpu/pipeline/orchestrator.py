@@ -119,7 +119,54 @@ def run_pipeline(raw_dir: str, supp_dir: str, sites: Sequence[str], config,
             "the STAGED front-end instead (the fused stage replaces all "
             "three)", sorted(front_end & set(stages)),
             sorted(front_end - set(stages)))
-    if fused:
+    # streaming mode (latent_encoding.streaming + patch.fused): the fused
+    # front-end, assemble's resize, and process_VAE's encode collapse into
+    # ONE pass with patches HBM-resident throughout (pipeline/stream.py);
+    # only the trajectory-relation half of assemble remains as its own
+    # stage (it needs build_trajectories' cell_traj.pkl first).
+    streaming = fused and \
+        bool(getattr(config.latent_encoding, "streaming", False)) and \
+        {"assemble", "process"} <= set(stages)
+    if fused and not streaming and \
+            getattr(config.latent_encoding, "streaming", False):
+        log.warning(
+            "latent_encoding.streaming requested but stages are missing "
+            "%s — running the fused front-end + staged assemble/process "
+            "instead", sorted({"assemble", "process"} - set(stages)))
+    if streaming:
+        stages = ["seg_patch_stream"] + [s for s in stages
+                                         if s not in front_end and
+                                         s != "process"]
+        from .stream import seg_patch_stream
+
+        def _latents_exist(well: str) -> bool:
+            weights = config.latent_encoding.weights
+            if isinstance(weights, (list, tuple)):
+                weights = weights[0]
+            model_name = os.path.basename(os.path.normpath(weights)) \
+                if weights else "model"
+            from ..io.compact import resolve_any
+
+            return all(os.path.exists(resolve_any(
+                os.path.join(raw_dir, model_name, f"{well}{n}")))
+                for n in ("_latent_space.pkl", "_latent_space_after.pkl"))
+
+        def _stream_all():
+            # rerun=True always: the encoder consumes patches from the live
+            # frame hook, so skipping completed sites would stream nothing
+            # for them; whole-stage resume is the skip_if below.
+            seg_patch_stream(
+                raw_dir, supp_dir, sites, config, rerun=True,
+                site_parallelism=getattr(config.patch,
+                                         "fused_site_parallelism", None),
+                patch_type="mat")
+
+        run("seg_patch_stream", _stream_all,
+            skip_if=lambda: all(
+                _well_outputs_exist(raw_dir, w, ["_static_patches.pkl",
+                                                 "_file_paths.pkl"]) and
+                _latents_exist(w) for w in wells))
+    elif fused:
         stages = ["seg_patch_fused"] + [s for s in stages
                                         if s not in front_end]
         # device-resident fast path: the three front-end stages run as one
@@ -156,14 +203,31 @@ def run_pipeline(raw_dir: str, supp_dir: str, sites: Sequence[str], config,
         run("extract_patches",
             lambda: extract_patches(raw_dir, supp_dir, sites, config))
     run("build_trajectories",
-        lambda: build_trajectories(raw_dir, supp_dir, sites, config))
-    run("assemble",
-        lambda: [assemble_vae(raw_dir, supp_dir, ws, config,
-                              patch_type="mat")
-                 for ws in wells.values()],
-        skip_if=lambda: all(_well_outputs_exist(
-            raw_dir, w, ["_static_patches.pkl", "_file_paths.pkl"])
-            for w in wells))
+        lambda: build_trajectories(raw_dir, supp_dir, sites, config),
+        skip_if=lambda: all(
+            os.path.exists(os.path.join(site_supp_folder(supp_dir, s),
+                                        "cell_traj.pkl"))
+            for s in sites))
+    if streaming:
+        # file_paths/static_patches/latents were already streamed; only the
+        # trajectory-relation half of assemble remains
+        from .stream import assemble_relations
+
+        run("assemble",
+            lambda: [assemble_relations(raw_dir, supp_dir, ws, config)
+                     for ws in wells.values()],
+            skip_if=lambda: all(_well_outputs_exist(
+                raw_dir, w, ["_static_patches_relations.pkl",
+                             "_static_patches_labels.pkl"])
+                for w in wells))
+    else:
+        run("assemble",
+            lambda: [assemble_vae(raw_dir, supp_dir, ws, config,
+                                  patch_type="mat")
+                     for ws in wells.values()],
+            skip_if=lambda: all(_well_outputs_exist(
+                raw_dir, w, ["_static_patches.pkl", "_file_paths.pkl"])
+                for w in wells))
     def _process_all():
         # prefetch the next well's pickles while this one encodes; drain
         # latent pickle saves on a writer thread (same overlap as the

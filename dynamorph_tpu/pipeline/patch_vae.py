@@ -95,7 +95,9 @@ def assemble_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
                 stems[stem] = f
         dat_fs.extend(os.path.join(folder, stems[s]) for s in sorted(stems))
 
-    dataset, fs = prepare_dataset(dat_fs, channels=channels, key=patch_type)
+    input_size = int(getattr(le, "input_size", 128) or 128)
+    dataset, fs = prepare_dataset(dat_fs, channels=channels, key=patch_type,
+                                  input_shape=(input_size, input_size))
     assert fs == sorted(fs)
 
     save_pickle(fs, os.path.join(raw_folder, f"{well}_file_paths.pkl"))
