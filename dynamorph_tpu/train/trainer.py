@@ -91,10 +91,11 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
     ``core.mesh.init_multihost()``), every process must call this function
     with the SAME arguments (dataset/relations replicated host-side — these
     are small; each process materialises only its local devices' shards).
-    With ``shuffle_data=False`` the dataset rows additionally stay
-    device-RESIDENT per shard (uploaded once in batch-pool order, gathered
-    per step by a shard_map-local take — see the resident_mp block); with
-    shuffling, batches stream through ``core.mesh.put_global``. Checkpoint/metrics writes happen on
+    Dataset rows additionally stay device-RESIDENT per shard (uploaded in
+    batch-pool order, gathered per step by a shard_map-local take — see
+    the resident_mp block): once for the whole run with
+    ``shuffle_data=False``, once per epoch (after the shuffle) with
+    ``shuffle_data=True``. Checkpoint/metrics writes happen on
     process 0 only; loss scalars are replicated so control flow (early
     stopping, epoch order) stays in lockstep. Verified 2-process x 4-device
     == 1-process x 8-device in tests/test_multihost.py.
@@ -228,53 +229,70 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
                 data_utils.slice_mask(mask, np.arange(len(mask))))
         take = jax.jit(lambda a, b: jnp.take(a, b, axis=0))
 
-    # Device-resident feed (multi-process): batch composition is static
-    # when shuffle_data is off (the relation-matrix path, reference
-    # run_training.py:471-472), so every batch's per-shard chunk is known
-    # up-front. Rows are uploaded ONCE in "pool" order — device s holds,
-    # contiguously, chunk s of every (trajectory-packed) batch — and each
-    # step gathers its chunk with a shard_map-local jnp.take: shard-aligned
-    # batches need NO cross-process collective, and the per-step host->
-    # device traffic drops to the uint8 relation block plus one int32
-    # index vector (VERDICT r3 item 3; feed semantics of reference
-    # run_training.py:455-551). Values are identical to the streamed feed
-    # because the pool layout equals put_global's contiguous-chunk split.
-    resident_mp = (multiproc and not shuffle_data
+    # Device-resident feed (multi-process): every batch's per-shard chunk
+    # is known up-front for the epoch (batch composition only changes at
+    # epoch boundaries, when shuffle_data reorders train_ids). Rows are
+    # uploaded in "pool" order — device s holds, contiguously, chunk s of
+    # every (trajectory-packed) batch — and each step gathers its chunk
+    # with a shard_map-local jnp.take: shard-aligned batches need NO
+    # cross-process collective, and the per-step host->device traffic
+    # drops to the uint8 relation block plus one int32 index vector
+    # (VERDICT r3 item 3; feed semantics of reference
+    # run_training.py:455-551). With shuffle_data=False (the
+    # relation-matrix production path, run_training.py:471-472) the pool
+    # uploads ONCE for the whole run; with shuffle_data=True it re-uploads
+    # once per epoch after the shuffle (one bulk transfer instead of
+    # per-step batch streaming — same total bytes, none of it on the step
+    # path). Values are identical to the streamed feed because the pool
+    # layout equals put_global's contiguous-chunk split.
+    resident_mp = (multiproc
                    and _resident_bytes <= _DEVICE_RESIDENT_BUDGET)
     if resident_mp:
         S = mesh.shape["data"]
         chunk = batch_size // S
-        packed = []
-        for ids, n_b in ((train_ids, n_batches), (val_ids, n_val_batches)):
-            for i in range(n_b):
-                bids = ids[i * batch_size:(i + 1) * batch_size]
-                if traj_sharded_loss:
-                    from . import sharded_loss as SL
+        data_sh = batch_sharding(mesh, dataset.ndim)
+        mfull = (data_utils.slice_mask(mask, np.arange(len(mask)))
+                 if mask is not None else None)
 
-                    bids = SL.pack_trajectories(bids, traj_ids, n_shards)
-                packed.append(np.asarray(bids, dtype=np.int64))
-        if not packed:
-            resident_mp = False
-        else:
+        def _build_pool():
+            """(Re)build the shard-major row pool from the CURRENT
+            train_ids/val_ids order; called once up-front and again after
+            each epoch's shuffle."""
+            packed = []
+            for ids, n_b in ((train_ids, n_batches),
+                             (val_ids, n_val_batches)):
+                for i in range(n_b):
+                    bids = ids[i * batch_size:(i + 1) * batch_size]
+                    if traj_sharded_loss:
+                        from . import sharded_loss as SL
+
+                        bids = SL.pack_trajectories(bids, traj_ids,
+                                                    n_shards)
+                    packed.append(np.asarray(bids, dtype=np.int64))
+            if not packed:
+                return None, None
             order = np.stack(packed)                      # (nB, batch_size)
             pool_ids = (order.reshape(len(packed), S, chunk)
                         .transpose(1, 0, 2).reshape(-1))  # shard-major
-            data_sh = batch_sharding(mesh, dataset.ndim)
 
             def _pool_cb(src):
                 # each process materialises only its local shards' rows
                 return lambda idx: src[pool_ids[idx[0]]]
 
-            pool = jax.make_array_from_callback(
+            new_pool = jax.make_array_from_callback(
                 (len(pool_ids),) + dataset.shape[1:], data_sh,
                 _pool_cb(dataset))
-            mask_pool = None
-            if mask is not None:
-                mfull = data_utils.slice_mask(mask, np.arange(len(mask)))
-                mask_pool = jax.make_array_from_callback(
+            new_mask_pool = None
+            if mfull is not None:
+                new_mask_pool = jax.make_array_from_callback(
                     (len(pool_ids),) + mfull.shape[1:],
                     batch_sharding(mesh, mfull.ndim), _pool_cb(mfull))
+            return new_pool, new_mask_pool
 
+        pool, mask_pool = _build_pool()
+        if pool is None:
+            resident_mp = False
+        else:
             def _local_take(d, idx):
                 return jnp.take(d, idx, axis=0)
 
@@ -354,6 +372,10 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
                                ordinal_base=n_batches)
         if shuffle_data:
             rng.shuffle(train_ids)
+            if resident_mp:
+                # batch composition changed: re-upload the pool in the new
+                # order (one bulk transfer, off the step path)
+                pool, mask_pool = _build_pool()
         if writer is not None:
             writer.write("Loss", train_losses, epoch)
             writer.write("Val loss", val_losses, epoch)

@@ -68,6 +68,7 @@ def counting_put(x, sharding):
     return orig_put(x, sharding)
 mesh_mod.put_global = counting_put
 
+orig_budget = trainer_mod._DEVICE_RESIDENT_BUDGET
 hist_res = run_train(build_problem(), mesh, outdir)
 res_bytes = counts["bytes"]
 trainer_mod._DEVICE_RESIDENT_BUDGET = 0   # force the streamed feed
@@ -77,6 +78,25 @@ str_bytes = counts["bytes"]
 print("HISTORY:" + json.dumps(hist_res), flush=True)
 print("HISTORY_STREAMED:" + json.dumps(hist_str), flush=True)
 print("FEEDBYTES:" + json.dumps([res_bytes, str_bytes]), flush=True)
+
+# Shuffled multi-process feed (VERDICT r4 item 8): the resident pool
+# re-uploads per epoch after the shuffle; per-STEP put_global traffic
+# stays relations + int32 index vectors, and the loss history must equal
+# the streamed shuffled feed (same seed -> same shuffle order).
+trainer_mod._DEVICE_RESIDENT_BUDGET = orig_budget
+counts["bytes"] = 0
+hist_res_sh = run_train(build_problem(), mesh, outdir + "_shres",
+                        shuffle=True)
+res_sh_bytes = counts["bytes"]
+trainer_mod._DEVICE_RESIDENT_BUDGET = 0
+counts["bytes"] = 0
+hist_str_sh = run_train(build_problem(), mesh, outdir + "_shstr",
+                        shuffle=True)
+str_sh_bytes = counts["bytes"]
+print("HISTORY_SHUFFLED:" + json.dumps(hist_res_sh), flush=True)
+print("HISTORY_SHUFFLED_STREAMED:" + json.dumps(hist_str_sh), flush=True)
+print("FEEDBYTES_SHUFFLED:" + json.dumps([res_sh_bytes, str_sh_bytes]),
+      flush=True)
 """
 
 
@@ -151,7 +171,7 @@ def run_fixed_steps(mesh, n_steps: int = 3):
     return {k: float(v) for k, v in losses.items()}
 
 
-def run_train(problem, mesh, outdir):
+def run_train(problem, mesh, outdir, shuffle=False):
     from dynamorph_tpu.train.trainer import train_vqvae
 
     dataset, rel, mask = problem
@@ -161,7 +181,7 @@ def run_train(problem, mesh, outdir):
         _tiny_model(mesh), dataset, outdir, relation_mat=rel, mask=mask,
         n_epochs=2, lr=1e-3, batch_size=16, transform=True,
         val_split_ratio=0.25, patience=20, mesh=mesh, seed=0,
-        traj_sharded_loss=True)
+        shuffle_data=shuffle, traj_sharded_loss=True)
     return history
 
 
@@ -465,6 +485,9 @@ def test_two_process_training_matches_single_process(tmp_path):
     histories = extract("HISTORY")
     histories_streamed = extract("HISTORY_STREAMED")
     feed_bytes = extract("FEEDBYTES")
+    histories_shuffled = extract("HISTORY_SHUFFLED")
+    histories_shuffled_str = extract("HISTORY_SHUFFLED_STREAMED")
+    feed_bytes_shuffled = extract("FEEDBYTES_SHUFFLED")
 
     # every process observes identical (replicated) scalars
     assert steps_mh[0] == steps_mh[1]
@@ -483,6 +506,25 @@ def test_two_process_training_matches_single_process(tmp_path):
     # blocks + int32 index vectors (no batch/mask re-upload)
     for res_b, str_b in feed_bytes:
         assert res_b < str_b / 100, (res_b, str_b)
+
+    # shuffled multi-process resident feed (per-epoch pool re-upload): same
+    # losses as the streamed shuffled feed, same per-step traffic profile
+    # (the epoch pool uploads go through make_array_from_callback, not
+    # put_global — nothing batch-sized rides the step path)
+    assert histories_shuffled[0] == histories_shuffled[1]
+    for ep_res, ep_str in zip(histories_shuffled[0],
+                              histories_shuffled_str[0]):
+        for split in ("train", "val"):
+            for k, v in ep_str[split].items():
+                np.testing.assert_allclose(
+                    ep_res[split][k], v, rtol=1e-6, atol=1e-8,
+                    err_msg=f"shuffled resident vs streamed multi-process "
+                            f"feed diverged at {split}/{k}")
+    for res_b, str_b in feed_bytes_shuffled:
+        assert res_b < str_b / 100, (res_b, str_b)
+    # the shuffle actually engaged: epoch-1 train composition differs from
+    # the unshuffled run's
+    assert histories_shuffled[0][1]["train"] != histories[0][1]["train"]
 
     # single-process 8-device runs of the identical problems (this pytest
     # process already holds the 8-device CPU mesh via conftest)
