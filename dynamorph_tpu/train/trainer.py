@@ -422,10 +422,26 @@ def train_triplet(model, train_set, val_set, output_dir: str,
     (train/triplet_data.py); each step runs the whole flattened batch through
     one jitted forward+backward with the triplet miner inside. With ``mesh``
     the batch shards over the 'data' axis (params replicated, gradient psum
-    + embedding all-gather for the miner inserted by XLA). Single-host
-    meshes only — multi-host training is the VQ-VAE trainer's story.
+    + embedding all-gather for the miner inserted by XLA).
+
+    Multi-host: when ``mesh`` spans multiple processes (after
+    ``core.mesh.init_multihost()``), every process must call this with the
+    SAME arguments and seed — datasets replicated host-side, so the seeded
+    shuffle and positive-set draws agree everywhere; batches feed through
+    ``put_global`` (each process materialises only its local shards) and
+    trailing partial batches are dropped (static, divisible shard shapes).
+    Checkpoint/metrics writes happen on process 0; loss scalars are
+    replicated so early stopping stays in lockstep. Verified 2-process x
+    4-device == 1-process x 8-device in tests/test_multihost.py.
     """
     import optax
+
+    from ..core.mesh import is_main_process, is_multiprocess
+
+    multiproc = mesh is not None and is_multiprocess()
+    is_main = is_main_process()
+    if multiproc:
+        from ..core.mesh import batch_sharding, put_global
 
     from .triplet_data import triplet_batches
 
@@ -438,8 +454,9 @@ def train_triplet(model, train_set, val_set, output_dir: str,
     if os.path.exists(ckpt_path) and not retrain:
         from .checkpoint import restore_checkpoint
 
-        print(f"Found previously saved model state {ckpt_path}. "
-              "Continue training...")
+        if is_main:
+            print(f"Found previously saved model state {ckpt_path}. "
+                  "Continue training...")
         ck = restore_checkpoint(ckpt_path)
         params, state = ck["params"], ck["state"]
 
@@ -449,9 +466,9 @@ def train_triplet(model, train_set, val_set, output_dir: str,
 
     step, eval_step = make_triplet_steps(model, optimizer, mesh=mesh)
 
-    writer = MetricsWriter(output_dir)
+    writer = MetricsWriter(output_dir) if is_main else None
     early = EarlyStopping(patience=patience or 10 ** 9, path=ckpt_path,
-                          verbose=True)
+                          verbose=is_main)
     history = []
     warned_fallback = False
     for epoch in range(log_step_offset, n_epochs):
@@ -461,8 +478,19 @@ def train_triplet(model, train_set, val_set, output_dir: str,
         for training, dataset in ((True, train_set), (False, val_set)):
             for labels, data in triplet_batches(dataset, batch_size,
                                                 shuffle=training, rng=rng):
-                batch = jnp.asarray(data, jnp.float32)
-                lab = jnp.asarray(labels)
+                if multiproc:
+                    if len(data) % mesh.shape["data"]:
+                        # trailing partial batch: multi-process shard
+                        # shapes must be static and divisible — drop it
+                        # (same policy as train_vqvae)
+                        continue
+                    batch = put_global(np.asarray(data, np.float32),
+                                       batch_sharding(mesh, data.ndim))
+                    lab = put_global(np.asarray(labels),
+                                     batch_sharding(mesh, 1))
+                else:
+                    batch = jnp.asarray(data, jnp.float32)
+                    lab = jnp.asarray(labels)
                 if training:
                     params, state, opt_state, losses = step(
                         params, state, opt_state, batch, lab)
@@ -480,8 +508,9 @@ def train_triplet(model, train_set, val_set, output_dir: str,
 
         train_losses = mean_of(True)
         val_losses = mean_of(False)
-        writer.write("Loss", train_losses, epoch)
-        writer.write("Val loss", val_losses, epoch)
+        if writer is not None:
+            writer.write("Loss", train_losses, epoch)
+            writer.write("Val loss", val_losses, epoch)
         history.append({"epoch": epoch, "train": train_losses,
                         "val": val_losses})
         # metric fallbacks instead of a KeyError mid-training: an empty val
@@ -503,7 +532,9 @@ def train_triplet(model, train_set, val_set, output_dir: str,
             warned_fallback = True
         early(monitored[metric], {"params": params, "state": state})
         if early.early_stop:
-            print("Early stopping")
+            if is_main:
+                print("Early stopping")
             break
-    writer.close()
+    if writer is not None:
+        writer.close()
     return params, state, history

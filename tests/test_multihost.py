@@ -97,6 +97,14 @@ print("HISTORY_SHUFFLED:" + json.dumps(hist_res_sh), flush=True)
 print("HISTORY_SHUFFLED_STREAMED:" + json.dumps(hist_str_sh), flush=True)
 print("FEEDBYTES_SHUFFLED:" + json.dumps([res_sh_bytes, str_sh_bytes]),
       flush=True)
+
+# Multi-host triplet/ResNet trainer (VERDICT r4 item 9): batches feed
+# through put_global, miner all-gather + gradient psum ride the
+# cross-process collectives.
+mesh_mod.put_global = orig_put
+from tests.test_multihost import run_triplet
+hist_tri = run_triplet(mesh, outdir + "_tri")
+print("HISTORY_TRIPLET:" + json.dumps(hist_tri), flush=True)
 """
 
 
@@ -182,6 +190,35 @@ def run_train(problem, mesh, outdir, shuffle=False):
         n_epochs=2, lr=1e-3, batch_size=16, transform=True,
         val_split_ratio=0.25, patience=20, mesh=mesh, seed=0,
         shuffle_data=shuffle, traj_sharded_loss=True)
+    return history
+
+
+def build_triplet_problem():
+    """32 items in 8 label groups; class signal baked into the mean so the
+    miner finds real positives/negatives."""
+    rng = np.random.RandomState(5)
+    labels = np.repeat(np.arange(8), 4)
+    data = (rng.rand(32, 2, 32, 32) +
+            labels[:, None, None, None] * 0.5).astype(np.float32)
+    return labels, data
+
+
+def run_triplet(mesh, outdir):
+    """train_triplet on the shared problem: 4 full batches of 8 items x
+    n_sample 2 = 16 rows over 8 shards (2 rows/shard)."""
+    from dynamorph_tpu.models.resnet_simclr import EncodeProject
+    from dynamorph_tpu.train.trainer import train_triplet
+    from dynamorph_tpu.train.triplet_data import TripletDataset
+
+    labels, data = build_triplet_problem()
+    ds_tr = TripletDataset(labels, lambda i: data[i], n_sample=2,
+                           rng=np.random.RandomState(0))
+    ds_val = TripletDataset(labels, lambda i: data[i], n_sample=2,
+                            rng=np.random.RandomState(1))
+    model = EncodeProject(arch="ResNet18", num_inputs=2, cifar_head=True)
+    _, _, history = train_triplet(model, ds_tr, ds_val, outdir,
+                                  n_epochs=2, batch_size=8, patience=20,
+                                  mesh=mesh, seed=0)
     return history
 
 
@@ -488,6 +525,7 @@ def test_two_process_training_matches_single_process(tmp_path):
     histories_shuffled = extract("HISTORY_SHUFFLED")
     histories_shuffled_str = extract("HISTORY_SHUFFLED_STREAMED")
     feed_bytes_shuffled = extract("FEEDBYTES_SHUFFLED")
+    histories_triplet = extract("HISTORY_TRIPLET")
 
     # every process observes identical (replicated) scalars
     assert steps_mh[0] == steps_mh[1]
@@ -537,6 +575,29 @@ def test_two_process_training_matches_single_process(tmp_path):
             steps_mh[0][k], v, rtol=1e-5, atol=1e-7,
             err_msg=f"step-level {k} diverged between multi-host and "
                     f"single-process runs")
+
+    # multi-host triplet trainer: both processes in lockstep (identical
+    # replicated scalars), and the history tracks a single-process
+    # 8-device run. The bound is loose: the all-triplet hinge has a dense
+    # active-set boundary, so collective reduction-order noise (gloo ring
+    # vs in-process) compounds through Adam faster than for the VQ-VAE.
+    assert histories_triplet[0] == histories_triplet[1]
+    ref_triplet = run_triplet(mesh, str(tmp_path / "single_tri"))
+    assert len(ref_triplet) == len(histories_triplet[0]) == 2
+    for ep_ref, ep_mh in zip(ref_triplet, histories_triplet[0]):
+        for split in ("train", "val"):
+            for k, v in ep_ref[split].items():
+                # positive_triplet is a DISCRETE active-triplet fraction
+                # (counts/B): ulp-level distance noise flips whole 1/B
+                # increments, so it only gets a coarse bound; the
+                # continuous losses get the real one.
+                rtol, atol = (1e-1, 0.25) if k == "positive_triplet" \
+                    else (1e-1, 1e-3)
+                np.testing.assert_allclose(
+                    ep_mh[split][k], v, rtol=rtol, atol=atol,
+                    err_msg=f"{split}/{k} grossly diverged between "
+                            f"multi-host and single-process triplet "
+                            f"training")
 
     ref_history = run_train(build_problem(), mesh, str(tmp_path / "single"))
     assert len(ref_history) == len(histories[0]) == 2
