@@ -234,8 +234,11 @@ def convert_storage(src: str, to: str,
                         exist_ok=True)
             if obj.dtype.kind == "f":
                 arr = obj.astype(np.float32, copy=False)
+                # equal_nan: NaN entries round-trip exactly through f32 —
+                # without it any NaN would raise the warning on a lossless
+                # conversion
                 if obj.dtype.itemsize > 4 and not np.array_equal(
-                        arr.astype(obj.dtype), obj):
+                        arr.astype(obj.dtype), obj, equal_nan=True):
                     import logging
 
                     logging.getLogger(__name__).warning(

@@ -374,17 +374,54 @@ def process_site_seg_patch_fused(
                 os.path.join(site_supp_files_folder, "cell_positions.pkl"))
 
 
+def build_seg_model(config):
+    """The fused front-end's U-Net, built + loaded from
+    ``config.segmentation_inference`` — exposed so multi-well callers
+    (pipeline/stream.py) can build ONE model and share its compiled
+    programs across every ``seg_patch_fused`` call (the per-frame programs
+    are cached on the model instance, _site_programs)."""
+    from ..seg.model import Segment
+
+    si = config.segmentation_inference
+    if si.network != "UNet":
+        raise NotImplementedError(
+            f"segmentation model {si.network} not implemented")
+    model = Segment(input_shape=(len(si.channels), si.window_size,
+                                 si.window_size),
+                    n_classes=si.num_classes)
+    if not si.weights:
+        raise ValueError("segmentation weights path must be provided")
+    model.load(si.weights)
+    return model
+
+
 def seg_patch_fused(raw_folder: str, supp_folder: str,
                     sites: Sequence[str], config, rerun: bool = True,
                     site_parallelism: Optional[int] = None,
-                    **kwargs) -> None:
+                    model=None, frame_hook_for=None,
+                    **kwargs) -> list:
     """Driver over sites: loads the U-Net once, then runs the fused
     device-resident stage per site with the staged drivers' per-site
     failure tolerance (reference pipeline/segmentation.py:76-86).
+    Returns the list of ``(site, exception)`` pairs for sites that failed
+    (empty on a clean run) — callers that must not publish partial
+    downstream artifacts (pipeline/stream.py) check it; the staged
+    contract (log + continue) is unchanged.
 
     ``rerun=False`` skips sites whose ``cell_positions.pkl`` (written last,
     the completion marker) already exists — same per-site resume semantics
     as the staged ``instance_segmentation`` driver.
+
+    ``model``: optional pre-built seg model (``build_seg_model``) — pass it
+    when calling this driver repeatedly (e.g. once per well) so the
+    per-frame jitted programs cached on the instance survive across calls
+    instead of recompiling each time (~15-40 s per program through the
+    relay).
+
+    ``frame_hook_for``: optional ``site -> frame_hook`` factory; each
+    site's frames invoke its own hook (see
+    ``process_site_seg_patch_fused``), which is how the streaming encoder
+    routes per-site patch buckets without a driver call per site.
 
     ``site_parallelism``: number of sites processed concurrently (worker
     threads; the TPU-native analog of the reference's process-per-GPU
@@ -400,28 +437,23 @@ def seg_patch_fused(raw_folder: str, supp_folder: str,
     import jax
 
     from ..core.profiling import stage_timer
-    from ..seg.model import Segment
 
-    si = config.segmentation_inference
-    if si.network != "UNet":
-        raise NotImplementedError(
-            f"segmentation model {si.network} not implemented")
-    model = Segment(input_shape=(len(si.channels), si.window_size,
-                                 si.window_size),
-                    n_classes=si.num_classes)
-    if not si.weights:
-        raise ValueError("segmentation weights path must be provided")
-    model.load(si.weights)
+    if model is None:
+        model = build_seg_model(config)
 
     devices = jax.local_devices()
     k = site_parallelism if site_parallelism is not None \
         else min(len(devices), len(sites))
     k = max(1, min(k, len(devices), max(len(sites), 1)))
 
+    si = config.segmentation_inference
+    failed: list = []
+
     def run_site(site, site_devices):
         site_path = os.path.join(raw_folder, f"{site}.npy")
         if not os.path.exists(site_path):
             log.error("Site data not found %s", site_path)
+            failed.append((site, FileNotFoundError(site_path)))
             return
         supp = site_supp_folder(supp_folder, site)
         if not rerun and os.path.exists(
@@ -432,6 +464,10 @@ def seg_patch_fused(raw_folder: str, supp_folder: str,
         os.makedirs(supp, exist_ok=True)
         kwargs.setdefault("cluster_workers",
                           getattr(config.patch, "cluster_workers", None))
+        hook = frame_hook_for(site) if frame_hook_for is not None else \
+            kwargs.get("frame_hook")
+        site_kwargs = {k_: v for k_, v in kwargs.items()
+                       if k_ != "frame_hook"}
         try:
             with stage_timer("seg_patch_fused", site=site):
                 process_site_seg_patch_fused(
@@ -442,15 +478,16 @@ def seg_patch_fused(raw_folder: str, supp_folder: str,
                     save_fig=config.patch.save_fig,
                     skip_boundary=config.patch.skip_boundary,
                     storage=getattr(config.patch, "storage", "pickle"),
-                    devices=site_devices, **kwargs)
+                    devices=site_devices, frame_hook=hook, **site_kwargs)
         except Exception as ex:
             log.error(ex)
             log.error("Error in fused seg->patch for site %s", site)
+            failed.append((site, ex))
 
     if k <= 1:
         for site in sites:
             run_site(site, devices)  # frame-parallel over ALL local chips
-        return
+        return failed
     # free-group checkout: the local devices split round-robin into k
     # groups (each site fans frames over its group); each task takes
     # whichever group is idle (a static index->group map can pile two long
@@ -476,3 +513,4 @@ def seg_patch_fused(raw_folder: str, supp_folder: str,
                 for site in sites]
         for f in futs:
             f.result()
+    return failed

@@ -133,18 +133,24 @@ def run_pipeline(raw_dir: str, supp_dir: str, sites: Sequence[str], config,
             "latent_encoding.streaming requested but stages are missing "
             "%s — running the fused front-end + staged assemble/process "
             "instead", sorted({"assemble", "process"} - set(stages)))
+    if streaming and "VAE" not in config.latent_encoding.network:
+        # the streaming encoder is VAE-family only (pipeline/stream.py);
+        # ResNet encoders normalize on host in process_vae's own branch
+        log.warning(
+            "latent_encoding.streaming requested but network '%s' has no "
+            "streaming encode — running the fused front-end + staged "
+            "assemble/process instead", config.latent_encoding.network)
+        streaming = False
     if streaming:
         stages = ["seg_patch_stream"] + [s for s in stages
                                          if s not in front_end and
                                          s != "process"]
+        from .patch_vae import resolve_latent_weights
         from .stream import seg_patch_stream
 
         def _latents_exist(well: str) -> bool:
-            weights = config.latent_encoding.weights
-            if isinstance(weights, (list, tuple)):
-                weights = weights[0]
-            model_name = os.path.basename(os.path.normpath(weights)) \
-                if weights else "model"
+            _, _, model_name = resolve_latent_weights(
+                config.latent_encoding)
             from ..io.compact import resolve_any
 
             return all(os.path.exists(resolve_any(

@@ -168,6 +168,29 @@ def encode_patches(model, params, state, dataset: np.ndarray,
     return z_b.reshape(n, -1), z_a.reshape(n, -1)
 
 
+def resolve_latent_weights(le):
+    """The latent_encoding weights contract, in ONE place (process_vae,
+    the streaming encoder, and the orchestrator's skip_if all depend on
+    agreeing about it): the reference accepts a list of weight dirs and
+    uses the first (patch_VAE.py:364-368), a weights DIR containing
+    ``model.pt`` loads that file, and latent outputs land under
+    ``<raw_folder>/<basename(weights)>/``.
+
+    Returns (weights, model_path, model_name): the first weights entry,
+    the loadable path for ``_load_model_weights``, and the output
+    directory name."""
+    weights = le.weights
+    if isinstance(weights, (list, tuple)):
+        weights = weights[0]
+    model_path = weights
+    if model_path is not None and os.path.isdir(model_path) and \
+            os.path.exists(os.path.join(model_path, "model.pt")):
+        model_path = os.path.join(model_path, "model.pt")
+    model_name = os.path.basename(os.path.normpath(weights)) \
+        if weights else "model"
+    return weights, model_path, model_name
+
+
 def _build_model_from_config(le, num_inputs: int = 2):
     cls = get_model_cls(le.network)
     # num_inputs/num_residual_layers hardcoded in the reference process path
@@ -249,9 +272,7 @@ def process_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
     caller owns close() (which re-raises any failed write).
     """
     le = config.latent_encoding
-    weights_dir = le.weights
-    if isinstance(weights_dir, (list, tuple)):
-        weights_dir = weights_dir[0]
+    weights_dir, probed_path, model_name = resolve_latent_weights(le)
     assert len({well_of(s) for s in sites}) == 1, \
         "Sites should be from a single well/condition"
     well = well_of(sites[0])
@@ -272,9 +293,8 @@ def process_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
     assert dataset.ndim == 4, f"dataset must be 4-D, got {dataset.ndim}"
     assert len(fs) == len(dataset)
 
-    model_path = weights_dir
-    model_name = os.path.basename(os.path.normpath(weights_dir)) \
-        if weights_dir else "model"
+    # the model.pt dir probe applies to the VAE family only; the ResNet
+    # branch below passes the raw weights path through unchanged
     output_dir = os.path.join(raw_folder, model_name)
     os.makedirs(output_dir, exist_ok=True)
 
@@ -282,10 +302,7 @@ def process_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
 
     if "VAE" in le.network:
         model = _build_model_from_config(le, num_inputs=2)
-        if model_path is not None and os.path.isdir(model_path) and \
-                os.path.exists(os.path.join(model_path, "model.pt")):
-            model_path = os.path.join(model_path, "model.pt")
-        params, state = _load_model_weights(model, model_path)
+        params, state = _load_model_weights(model, probed_path)
 
         # encode_patches auto-meshes over all local devices when mesh=None
         with stage_timer("process_vae_encode", well=well, n=len(dataset)):
@@ -312,7 +329,7 @@ def process_vae(raw_folder: str, supp_folder: str, sites: Sequence[str],
         from ..models.resnet_simclr import EncodeProject
 
         model = EncodeProject(arch=le.network)
-        params, state = _load_model_weights(model, model_path)
+        params, state = _load_model_weights(model, weights_dir)
         dataset = zscore_patch(dataset).astype(np.float32)
         # per-well share-nothing work: shard over LOCAL devices only
         from ..core.mesh import local_mesh

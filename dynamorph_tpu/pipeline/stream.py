@@ -22,14 +22,15 @@ resume semantics are unchanged.
 
 Exactness (why the streamed latents BIT-match the staged path):
 
-- resize: cv2's INTER_LINEAR at an exact 2x downscale samples at
-  ``src = 2*dst + 0.5`` with (0.5, 0.5) weights in both axes — i.e. the
-  mean of each 2x2 block, which is what the device program computes.
-  Pipeline patch values are uint16-origin integers (raw windows, 0 border
-  pad) or integer-medians (masked fill), all multiples of 0.5 below 2^16,
-  so the 4-term sum is exact in float32 and the /4 is a power of two:
+- resize: cv2's INTER_LINEAR at an exact integer-factor downscale reduces
+  to the mean of the CENTRAL 2x2 of each fxf block (even f; the whole
+  block at f=2) or the block's center pixel (odd f) — see
+  ``_resize_select_fn`` for the sampling-position derivation. Pipeline
+  patch values are uint16-origin integers (raw windows, 0 border pad) or
+  integer-medians (masked fill), all multiples of 0.5 below 2^16, so the
+  <=4-term sum is exact in float32 and the divisor is a power of two:
   float32(device) == float64(cv2) == float32(staged astype) bit-for-bit
-  (pinned by tests/test_stream_encode.py).
+  (pinned for factors 2, 3, 4 by tests/test_stream_encode.py).
 - encode: the SAME jitted program as the staged path
   (pipeline/patch_vae._encode_fn with the fused per-patch z-score), at the
   SAME padded batch shape — tail chunks are padded up to the full batch
@@ -76,16 +77,32 @@ def _take_chunk_fn(k: int):
 
 @functools.lru_cache(maxsize=32)
 def _resize_select_fn(channels: tuple, factor: int):
-    """Jitted channel-select + ``factor``x``factor`` block-mean resize:
-    (N, C, H, W) -> (N, len(channels), H/factor, W/factor)."""
+    """Jitted channel-select + cv2-INTER_LINEAR-exact integer-factor
+    downscale: (N, C, H, W) -> (N, len(channels), H/factor, W/factor).
+
+    cv2's bilinear at an exact integer factor f samples at
+    ``src = f*(dst + 0.5) - 0.5 = f*dst + f/2 - 0.5``: for even f that
+    falls exactly between rows ``f*dst + f/2 - 1`` and ``f*dst + f/2``
+    with (0.5, 0.5) weights — the mean of the CENTRAL 2x2 of each fxf
+    block (for f=2, the whole block); for odd f it lands exactly ON row
+    ``f*dst + (f-1)//2`` — the block's center pixel, no arithmetic at
+    all. Both forms are exact in float32 for the pipeline's
+    uint16-origin patch values (integers and half-integers below 2^16:
+    the <=4-term sum is exact and the divisor is a power of two), so the
+    streamed resize bit-matches the staged cv2 path at ANY integer
+    factor (pinned for f in {2, 3, 4} by tests/test_stream_encode.py)."""
     import jax
     import jax.numpy as jnp
+
+    start = (factor - 1) // 2
+    taps = 2 if factor % 2 == 0 else 1
 
     @jax.jit
     def f(mat):
         x = mat[:, jnp.array(channels)]
         n, c, h, w = x.shape
         x = x.reshape(n, c, h // factor, factor, w // factor, factor)
+        x = x[:, :, :, start:start + taps, :, start:start + taps]
         return jnp.mean(x, axis=(3, 5))
 
     return f
@@ -319,10 +336,20 @@ def seg_patch_stream(raw_folder: str, supp_folder: str,
     from ..io.pickles import save_pickle
     from ..io.prefetch import AsyncWriter
     from ..io.sites import group_sites_by_well, site_supp_folder
-    from .fused import seg_patch_fused
-    from .patch_vae import _build_model_from_config, _load_model_weights
+    from .fused import build_seg_model, seg_patch_fused
+    from .patch_vae import (_build_model_from_config, _load_model_weights,
+                            resolve_latent_weights)
 
     le = config.latent_encoding
+    if "VAE" not in le.network:
+        # the streaming encoder shares process_vae's VAE-family encode
+        # program; the ResNet branch (patch_vae.py ResNet path) normalizes
+        # on host and has no streaming form — route those through the
+        # staged pipeline instead (the orchestrator does this gate too)
+        raise ValueError(
+            f"streaming latent encode supports the VAE family only, got "
+            f"network '{le.network}' — run the fused front-end + staged "
+            "assemble/process for ResNet encoders")
     patch_type = patch_type or le.patch_type
     if not rerun:
         log.warning("seg_patch_stream streams patches from the live frame "
@@ -330,19 +357,16 @@ def seg_patch_stream(raw_folder: str, supp_folder: str,
                     "stream nothing for them; forcing rerun=True")
         rerun = True
     model = _build_model_from_config(le, num_inputs=2)
-    weights = le.weights
-    if isinstance(weights, (list, tuple)):
-        weights = weights[0]
-    model_path = weights
-    if model_path is not None and os.path.isdir(model_path) and \
-            os.path.exists(os.path.join(model_path, "model.pt")):
-        model_path = os.path.join(model_path, "model.pt")
+    weights, model_path, model_name = resolve_latent_weights(le)
     params, state = _load_model_weights(model, model_path)
-    model_name = os.path.basename(os.path.normpath(weights)) \
-        if weights else "model"
     output_dir = os.path.join(raw_folder, model_name)
     os.makedirs(output_dir, exist_ok=True)
     storage = getattr(le, "storage", "pickle")
+    # ONE seg model for the whole run: its per-frame jitted programs are
+    # cached on the instance, so wells/sites share compiled programs
+    # instead of recompiling per driver call (CLAUDE.md: never rebuild jit
+    # closures per site)
+    seg_model = build_seg_model(config)
 
     window = config.patch.window_size
     input_size = getattr(le, "input_size", None) or 128
@@ -374,14 +398,24 @@ def seg_patch_stream(raw_folder: str, supp_folder: str,
                 return hook
 
             with stage_timer("seg_patch_stream", well=well):
-                # per-site hooks: the fused driver is called per site so
-                # each gets its own supp-folder-bound hook
-                for site in well_sites:
-                    seg_patch_fused(raw_folder, supp_folder, [site],
-                                    config, rerun=rerun,
-                                    site_parallelism=site_parallelism,
-                                    frame_hook=hook_for(site),
-                                    **fused_kwargs)
+                # ONE driver call per well (site-parallel inside); the
+                # frame_hook_for factory binds each site's supp folder
+                failures = seg_patch_fused(
+                    raw_folder, supp_folder, well_sites, config,
+                    rerun=rerun, site_parallelism=site_parallelism,
+                    model=seg_model, frame_hook_for=hook_for,
+                    **fused_kwargs)
+                if failures:
+                    # publishing well artifacts assembled from PARTIAL
+                    # streams would look complete to the orchestrator's
+                    # skip_if and never re-run — fail the stage instead
+                    # (the staged path re-runs failed sites because their
+                    # cell_positions.pkl completion marker is missing)
+                    raise RuntimeError(
+                        f"well {well}: fused front-end failed for sites "
+                        f"{[s for s, _ in failures]} — not writing "
+                        "partial latents/static_patches"
+                    ) from failures[0][1]
                 fs, z_b, z_a, dataset = enc.finish()
 
             save_pickle(fs, os.path.join(raw_folder,

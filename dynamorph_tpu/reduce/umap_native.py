@@ -154,30 +154,46 @@ def fuzzy_simplicial_set(x: np.ndarray, n_neighbors: int):
     return (mat + t - prod).tocsr()
 
 
+_DENSE_FALLBACK_MAX = 4096
+
+
 def spectral_init(graph, n_components: int, seed: int) -> np.ndarray:
     """Symmetric-normalized-Laplacian eigenvectors (umap's 'spectral'
-    init), scaled to the ±10 box with a little noise; PCA-of-graph
-    fallback when the sparse eigensolver fails to converge."""
+    init), scaled to the ±10 box with a little noise. Uses Lanczos with
+    ``which="SM"`` exactly like umap-learn's spectral_layout — the
+    normalized Laplacian has an exact 0 eigenvalue, so a shift-invert at
+    sigma=0 would factorize a singular matrix. Fallbacks when the
+    eigensolver fails: PCA of the (densified) graph for small problems,
+    a deterministic random box init beyond ``_DENSE_FALLBACK_MAX`` rows
+    (umap-learn's own failure fallback is random init too; densifying an
+    N x N graph at production latent counts would be O(N^2) memory)."""
     from scipy import sparse
     from scipy.sparse import linalg as slinalg
 
     n = graph.shape[0]
     rng = np.random.RandomState(seed)
+    k = n_components + 1
     try:
         deg = np.asarray(graph.sum(axis=1)).ravel()
         d_inv = sparse.diags(1.0 / np.sqrt(np.maximum(deg, 1e-12)))
         lap = sparse.identity(n) - d_inv @ graph @ d_inv
-        k = n_components + 1
-        _, vecs = slinalg.eigsh(lap, k=k, sigma=0.0, which="LM",
-                                maxiter=n * 20,
+        ncv = max(2 * k + 1, int(np.sqrt(n)))
+        _, vecs = slinalg.eigsh(lap, k=k, which="SM", ncv=ncv, tol=1e-4,
+                                maxiter=n * 5,
                                 v0=np.ones(n) / np.sqrt(n))
         emb = vecs[:, 1:k]
-    except Exception as e:  # ArpackNoConvergence / singular factorization
-        log.warning("spectral init failed (%s); PCA fallback", e)
-        dense = np.asarray(graph.todense())
-        dense -= dense.mean(axis=0)
-        _, _, vt = np.linalg.svd(dense, full_matrices=False)
-        emb = dense @ vt[:n_components].T
+    except Exception as e:  # ArpackNoConvergence and friends
+        if n <= _DENSE_FALLBACK_MAX:
+            log.warning("spectral init failed (%s); PCA fallback", e)
+            dense = np.asarray(graph.todense())
+            dense -= dense.mean(axis=0)
+            _, _, vt = np.linalg.svd(dense, full_matrices=False)
+            emb = dense @ vt[:n_components].T
+        else:
+            log.warning("spectral init failed (%s) at n=%d; random box "
+                        "fallback (densifying would be O(N^2) memory)",
+                        e, n)
+            emb = rng.uniform(-10.0, 10.0, size=(n, n_components))
     expansion = 10.0 / max(np.abs(emb).max(), 1e-12)
     emb = emb * expansion
     return (emb + rng.normal(scale=1e-4, size=emb.shape)).astype(np.float32)

@@ -71,10 +71,12 @@ def read_keras_layer_weights(path: str) -> Dict[str, Dict[str, np.ndarray]]:
     return layers
 
 
-def is_multislice_weight_file(path: str) -> bool:
+def is_multislice_weight_file(path: str, layers=None) -> bool:
     """True when the file carries the 2.5-D ``SegmentWithMultipleSlice``
-    head layers (reference NNsegmentation/models.py:252-253)."""
-    layers = read_keras_layer_weights(path)
+    head layers (reference NNsegmentation/models.py:252-253).
+    ``layers``: optional pre-parsed ``read_keras_layer_weights`` result."""
+    if layers is None:
+        layers = read_keras_layer_weights(path)
     return "post_conv" in layers and "pred_head" in layers
 
 
@@ -158,12 +160,16 @@ def import_keras_unet(path: str, n_channels: int = 2, n_classes: int = 3,
     return params, state
 
 
-def multislice_dims_from_file(path: str) -> Tuple[int, int, int, int]:
+def multislice_dims_from_file(path: str, layers=None
+                              ) -> Tuple[int, int, int, int]:
     """Infer (n_channels, n_slices, unet_feat, n_classes) from a 2.5-D
     checkpoint's own kernels: pre_conv in-channels, post_conv in/out (the
     merge folds Z*unet_feat into channels, reference layers.py:51-86) and
-    pred_head out-channels."""
-    layers = read_keras_layer_weights(path)
+    pred_head out-channels. ``layers``: optional pre-parsed
+    ``read_keras_layer_weights`` result (avoids re-reading a ~100 MB .h5
+    when the caller already holds it)."""
+    if layers is None:
+        layers = read_keras_layer_weights(path)
     for need in ("pre_conv", "post_conv", "pred_head", "final_conv"):
         if need not in layers or "kernel" not in layers[need]:
             raise ValueError(f"{path}: missing layer '{need}' — not a "
@@ -183,8 +189,8 @@ def multislice_dims_from_file(path: str) -> Tuple[int, int, int, int]:
 def import_keras_unet_multislice(path: str, n_channels: int = None,
                                  n_slices: int = None, unet_feat: int = None,
                                  n_classes: int = None,
-                                 decoder_filters=(256, 128, 64, 32, 16)
-                                 ) -> Tuple[dict, dict]:
+                                 decoder_filters=(256, 128, 64, 32, 16),
+                                 layers=None) -> Tuple[dict, dict]:
     """Load a reference 2.5-D ``SegmentWithMultipleSlice`` ``.h5``
     (reference NNsegmentation/models.py:206-258): the shared U-Net body
     (classes=unet_feat) plus the ``post_conv``/``pred_head`` 1x1 heads.
@@ -196,7 +202,9 @@ def import_keras_unet_multislice(path: str, n_channels: int = None,
     from ..models.unet_keras import KerasUNet
     from ..nn import functional as F
 
-    fc, fz, ff, fk = multislice_dims_from_file(path)
+    if layers is None:
+        layers = read_keras_layer_weights(path)
+    fc, fz, ff, fk = multislice_dims_from_file(path, layers=layers)
     n_channels = fc if n_channels is None else n_channels
     n_slices = fz if n_slices is None else n_slices
     unet_feat = ff if unet_feat is None else unet_feat
@@ -218,7 +226,6 @@ def import_keras_unet_multislice(path: str, n_channels: int = None,
     params["pred_head"] = jax.tree_util.tree_map(
         np.asarray, F.init_conv(key, 1, 1, unet_feat, n_classes))
 
-    layers = read_keras_layer_weights(path)
     seen = _overlay_layers(params, state, layers, path,
                            "SegmentWithMultipleSlice")
     extra = {l for l, w in layers.items() if w} - seen

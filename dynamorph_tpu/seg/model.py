@@ -377,9 +377,14 @@ class SegmentWithMultipleSlice(Segment):
         if is_keras_weight_file(path):
             from ..models.unet_keras import KerasUNet
             from .keras_import import (import_keras_unet_multislice,
-                                       multislice_dims_from_file)
+                                       multislice_dims_from_file,
+                                       read_keras_layer_weights)
 
-            fc, fz, ff, fk = multislice_dims_from_file(path)
+            # parse the .h5 ONCE and thread the layers dict through the
+            # dims probe and the importer (a ~100 MB reference checkpoint
+            # would otherwise be read and materialized three times)
+            layers = read_keras_layer_weights(path)
+            fc, fz, ff, fk = multislice_dims_from_file(path, layers=layers)
             if (fc, fz, fk) != (self.n_channels, self.n_slices,
                                 self.n_classes):
                 raise ValueError(
@@ -389,7 +394,8 @@ class SegmentWithMultipleSlice(Segment):
             self.unet_feat = ff
             self.net = KerasUNet(n_channels=self.n_channels,
                                  n_classes=self.unet_feat)
-            self.params, self.state = import_keras_unet_multislice(path)
+            self.params, self.state = import_keras_unet_multislice(
+                path, layers=layers)
             # retrace against the new network/pytree structure
             self._predict_fn = jax.jit(self._predict_impl)
             return

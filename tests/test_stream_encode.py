@@ -23,22 +23,27 @@ from dynamorph_tpu.io.pickles import load_pickle
 from test_fused_seg_patch import CLUSTER, StubSeg, _make_site, _run_fused
 
 
-def test_device_resize_matches_cv2():
-    """cv2 INTER_LINEAR at an exact 2x downscale samples at src = 2*dst +
-    0.5 with (0.5, 0.5) weights — the mean of each 2x2 block. On the
-    pipeline's patch values (uint16-origin integers and .5-medians, i.e.
-    multiples of 0.5 below 2^16) both the float64 cv2 path and the float32
-    device path are exact, so they agree bit-for-bit."""
+@pytest.mark.parametrize("factor", [2, 3, 4])
+def test_device_resize_matches_cv2(factor):
+    """cv2 INTER_LINEAR at an exact integer-factor downscale reduces to
+    the central-2x2 mean (even factors; the whole block at 2) or the
+    block-center pixel (odd factors) — _resize_select_fn's derivation. On
+    the pipeline's patch values (uint16-origin integers and .5-medians,
+    i.e. multiples of 0.5 below 2^16) both the float64 cv2 path and the
+    float32 device path are exact, so they agree bit-for-bit at EVERY
+    integer factor, not just the reference 256->128 operating point."""
     from dynamorph_tpu.pipeline.patch_vae import _resize_chw
     from dynamorph_tpu.pipeline.stream import _resize_select_fn
 
     rng = np.random.RandomState(0)
     # integers + half-integers, the pipeline's actual value lattice
-    mat = rng.randint(0, 2 ** 16, size=(5, 4, 32, 32)).astype(np.float32)
+    size = 16 * factor
+    mat = rng.randint(0, 2 ** 16,
+                      size=(5, 4, size, size)).astype(np.float32)
     mat += 0.5 * rng.randint(0, 2, size=mat.shape).astype(np.float32)
 
     for channels in [(0, 1), (2,), (3, 0)]:
-        dev = np.asarray(_resize_select_fn(channels, 2)(mat))
+        dev = np.asarray(_resize_select_fn(channels, factor)(mat))
         # the staged path: float64 stacks -> cv2 resize -> astype(float32)
         # at encode time (patch_vae.prepare_dataset + encode_patches)
         staged = _resize_chw(
@@ -184,6 +189,85 @@ def test_stream_multidevice_matches_single(tmp_path, monkeypatch,
         [os.path.basename(f) for f in outs["all"][0]]
     np.testing.assert_array_equal(outs["one"][1], outs["all"][1])
     np.testing.assert_array_equal(outs["one"][2], outs["all"][2])
+
+
+def test_stream_partial_failure_raises(tmp_path, monkeypatch,
+                                       tiny_weights):
+    """A site failing inside the fused front-end must FAIL the streaming
+    stage instead of publishing complete-looking well artifacts assembled
+    from partial streams (which the orchestrator's skip_if would then
+    treat as done forever)."""
+    import dynamorph_tpu.seg.model as segmod
+    from dynamorph_tpu.pipeline.stream import seg_patch_stream
+
+    monkeypatch.setattr(segmod, "Segment", _StubSegment)
+    config = _config(tiny_weights)
+    raw = tmp_path / "exp"
+    _make_site(raw, "C5-Site_0")
+    # C5-Site_1 raw stack intentionally missing: the fused driver logs and
+    # continues (staged contract), but streaming must not publish C5
+    with pytest.raises(RuntimeError, match="C5-Site_1"):
+        seg_patch_stream(str(raw), str(raw / "supp"),
+                         ["C5-Site_0", "C5-Site_1"], config, **CLUSTER)
+    assert not os.path.exists(os.path.join(raw, "C5_file_paths.pkl"))
+    assert not os.path.exists(os.path.join(raw, "C5_static_patches.pkl"))
+    assert not os.path.exists(
+        os.path.join(raw, "weights", "C5_latent_space.pkl"))
+
+
+def test_stream_rejects_resnet_network(tmp_path, tiny_weights):
+    """The streaming encoder is VAE-family only: a ResNet latent_encoding
+    config must fail loudly at stage entry (the staged process_vae has a
+    ResNet branch; streaming does not)."""
+    from dynamorph_tpu.pipeline.stream import seg_patch_stream
+
+    config = _config(tiny_weights)
+    config.latent_encoding.network = "ResNet50"
+    with pytest.raises(ValueError, match="VAE family"):
+        seg_patch_stream(str(tmp_path), str(tmp_path / "supp"),
+                         ["C5-Site_0"], config)
+
+
+def test_orchestrator_streaming_resnet_falls_back(tmp_path, monkeypatch,
+                                                  tiny_weights):
+    """streaming + fused with a ResNet network routes through the fused
+    front-end + STAGED assemble/process (with a warning) instead of
+    crashing in the VAE-only streaming stage."""
+    from dynamorph_tpu.pipeline import fused as fused_mod
+    from dynamorph_tpu.pipeline import orchestrator as orch
+    from dynamorph_tpu.pipeline import patch_vae as pv
+    from dynamorph_tpu.pipeline import stream as stream_mod
+
+    calls = []
+    monkeypatch.setattr(fused_mod, "seg_patch_fused",
+                        lambda *a, **k: calls.append("fused") or [])
+    monkeypatch.setattr(stream_mod, "seg_patch_stream",
+                        lambda *a, **k: calls.append("stream"))
+    monkeypatch.setattr(orch, "build_trajectories",
+                        lambda *a, **k: calls.append("bt"))
+    monkeypatch.setattr(orch, "assemble_vae",
+                        lambda *a, **k: calls.append("assemble"))
+    monkeypatch.setattr(orch, "process_vae",
+                        lambda *a, **k: calls.append("process"))
+    monkeypatch.setattr(orch, "trajectory_matching",
+                        lambda *a, **k: calls.append("tm"))
+    monkeypatch.setattr(
+        pv, "load_well_inputs",
+        lambda *a, **k: (["a"], np.zeros((1, 2, 1, 16, 16))))
+
+    config = _config(tiny_weights)
+    config.patch.fused = True
+    config.latent_encoding.streaming = True
+    config.latent_encoding.network = "ResNet50"
+    executed = orch.run_pipeline(
+        str(tmp_path), str(tmp_path / "supp"), ["C5-Site_0"], config,
+        stages=["segmentation", "instance_segmentation", "extract_patches",
+                "build_trajectories", "assemble", "process"],
+        resume=False)
+    assert "seg_patch_fused" in executed
+    assert "seg_patch_stream" not in executed
+    assert "stream" not in calls
+    assert calls[:1] == ["fused"] and "process" in calls
 
 
 def test_orchestrator_streaming_flag(tmp_path, monkeypatch, tiny_weights):
