@@ -213,6 +213,12 @@ def process_site_seg_patch_fused(
     if devices is None:
         devices = [device]
     devices = list(devices) or [None]
+    if not lookahead and len(devices) > 1:
+        # lookahead=False forces strictly serial frame consumption
+        # (window=0 below): round-robining frames over several devices
+        # would buy zero parallelism while paying a first-compile of every
+        # per-frame program plus a params upload PER DEVICE
+        devices = devices[:1]
 
     def frame_device(t_point):
         return devices[t_point % len(devices)]

@@ -204,16 +204,12 @@ class StreamingWellEncoder:
                 "fused stage's cell_bucket")
         names = [os.path.join(site_supp_folder, "%d_%d.h5" % (t_point, cid))
                  for cid, _ in kept_cells]
+        item = None
         with self._lock:
             resized = _resize_select_fn(self.channels, self.factor)(mat)
             if self.keep_dataset:
                 item = [tuple(names), resized]
                 self._resized.append(item)
-                if self.writer is not None:
-                    def fetch(it=item):
-                        it[1] = np.asarray(it[1])  # device -> host download
-
-                    self.writer.submit(fetch)
             pend = self._pending.setdefault(dev, [])
             n_pad = resized.shape[0]
             k = self.chunk
@@ -227,6 +223,15 @@ class StreamingWellEncoder:
             while len(pend) >= self.batch_chunks:
                 self._dispatch_encode(dev, pend[: self.batch_chunks])
                 del pend[: self.batch_chunks]
+        if item is not None and self.writer is not None:
+            # OUTSIDE the lock: submit blocks once the writer's bounded
+            # queue is full (it drains device->host downloads at tunnel
+            # speed), and holding the lock through that would stall every
+            # other site's frame hook on enc._lock
+            def fetch(it=item):
+                it[1] = np.asarray(it[1])  # device -> host download
+
+            self.writer.submit(fetch)
 
     def _zero(self, dev, like):
         import jax

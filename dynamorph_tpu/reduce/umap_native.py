@@ -74,8 +74,9 @@ def knn_graph(x: np.ndarray, n_neighbors: int, block: int = 1024):
     x = np.asarray(x, np.float32)
     n = len(x)
     k = min(n_neighbors, n - 1)
+    sq_h = (x * x).sum(axis=1)
     xd = jnp.asarray(x)
-    sq = jnp.sum(xd * xd, axis=1)
+    sq = jnp.asarray(sq_h)
 
     @jax.jit
     def block_topk(rows, row_sq):
@@ -87,18 +88,19 @@ def knn_graph(x: np.ndarray, n_neighbors: int, block: int = 1024):
     dists = np.empty((n, k), np.float64)
     for s in range(0, n, block):
         e = min(s + block, n)
-        d2, idx = block_topk(xd[s:e], sq[s:e])
+        # slice the HOST copies: device-array slicing at a varying offset
+        # would compile a fresh program per distinct start (CLAUDE.md);
+        # host slices hit block_topk at just two shapes (full + tail)
+        d2, idx = block_topk(x[s:e], sq_h[s:e])
         d2 = np.maximum(np.asarray(d2, np.float64), 0.0)
         idx = np.asarray(idx)
         # drop self (distance-0 column; fall back to masking by index in
         # case of exact duplicates putting self later in the tie order)
-        for r in range(e - s):
-            row_idx, row_d = idx[r], d2[r]
-            keep = row_idx != (s + r)
-            if keep.sum() > k:
-                keep[np.flatnonzero(keep)[-1]] = False
-            inds[s + r] = row_idx[keep][:k]
-            dists[s + r] = row_d[keep][:k]
+        keep = idx != np.arange(s, e)[:, None]
+        all_kept = keep.sum(axis=1) > k  # self never matched (duplicates)
+        keep[all_kept, -1] = False
+        inds[s:e] = idx[keep].reshape(-1, k)
+        dists[s:e] = d2[keep].reshape(-1, k)
     return inds, np.sqrt(dists)
 
 
@@ -109,13 +111,15 @@ def smooth_knn(dists: np.ndarray, local_connectivity: float = 1.0
     sum_j exp(-max(0, d_ij - rho_i)/sigma_i) = log2(k)."""
     n, k = dists.shape
     target = np.log2(k)
-    rho = np.zeros(n)
     nonzero_counts = (dists > 0).sum(axis=1)
-    for i in range(n):
-        nz = dists[i][dists[i] > 0]
-        if len(nz):
-            rho[i] = nz[0] if local_connectivity <= 1 else nz[
-                min(int(local_connectivity) - 1, len(nz) - 1)]
+    # rows are sorted ascending, so zeros (exact duplicates) all precede
+    # the nonzero distances: the j-th nonzero entry sits at column
+    # first_nz + j, and the last nonzero at column k-1 — vectorized
+    # instead of a per-row Python loop over the whole dataset
+    first_nz = (dists > 0).argmax(axis=1)
+    pos = first_nz if local_connectivity <= 1 else np.minimum(
+        first_nz + int(local_connectivity) - 1, k - 1)
+    rho = np.where(nonzero_counts > 0, dists[np.arange(n), pos], 0.0)
     lo = np.zeros(n)
     hi = np.full(n, np.inf)
     mid = np.ones(n)

@@ -52,23 +52,19 @@ class _NativeUMAPModule:
         return NativeUMAP(**kwargs)
 
 
-def _require_umap(allow_native: bool = True):
+def _require_umap():
     try:
         import umap  # noqa: F401
 
         return umap
-    except ImportError as e:
-        if allow_native:
-            log.warning(
-                "umap-learn is not installed — using the native JAX/numpy "
-                "UMAP fit (reduce/umap_native.py: same fuzzy-simplicial-set "
-                "construction; batched negative-sampling SGD, deterministic "
-                "under seed). Install umap-learn>=0.5.1 for the exact "
-                "upstream optimizer.")
-            return _NativeUMAPModule
-        raise ImportError(
-            "umap-learn is required for UMAP transform of pre-0.5 model "
-            "pickles; install it or use method='pca'") from e
+    except ImportError:
+        log.warning(
+            "umap-learn is not installed — using the native JAX/numpy "
+            "UMAP fit (reduce/umap_native.py: same fuzzy-simplicial-set "
+            "construction; batched negative-sampling SGD, deterministic "
+            "under seed). Install umap-learn>=0.5.1 for the exact "
+            "upstream optimizer.")
+        return _NativeUMAPModule
 
 
 def fit_umap(train_data: np.ndarray, weights_dir: str, labels,
@@ -137,7 +133,16 @@ def umap_transform(input_dir: str, output_dir: str, weights_dir: str,
                     if f.startswith("umap") and f.endswith(".pkl")]
     for fname in model_fnames:
         model_name = os.path.splitext(fname)[0]
-        model = load_pickle(os.path.join(weights_dir, fname))
+        try:
+            model = load_pickle(os.path.join(weights_dir, fname))
+        except ModuleNotFoundError as e:
+            if e.name and e.name.split(".")[0] == "umap":
+                # unpickling a fitted pre-0.5 model imports the real
+                # package (the native fit has no transform contract)
+                raise ImportError(
+                    "umap-learn is required for UMAP transform of pre-0.5 "
+                    "model pickles; install it or use method='pca'") from e
+            raise
         if not hasattr(model, "transform"):
             # fit_umap saves [embedding, labels] pickles under the same
             # umap* prefix (fit-only contract); skip those rather than

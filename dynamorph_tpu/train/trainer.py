@@ -370,12 +370,6 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
         train_losses = run_epoch(train_ids, n_batches, True, ek_train)
         val_losses = run_epoch(val_ids, n_val_batches, False, ek_val,
                                ordinal_base=n_batches)
-        if shuffle_data:
-            rng.shuffle(train_ids)
-            if resident_mp:
-                # batch composition changed: re-upload the pool in the new
-                # order (one bulk transfer, off the step path)
-                pool, mask_pool = _build_pool()
         if writer is not None:
             writer.write("Loss", train_losses, epoch)
             writer.write("Val loss", val_losses, epoch)
@@ -403,6 +397,16 @@ def train_vqvae(model, dataset: np.ndarray, output_dir: str,
         if early.early_stop:
             print("Early stopping")
             break
+        if shuffle_data and epoch < n_epochs - 1:
+            # reshuffle for the NEXT epoch only — after the early-stop
+            # check and never on the final epoch, so a run's last act is
+            # not a pool re-upload nobody reads (resident_mp re-uploads up
+            # to the full device-resident budget per shuffle)
+            rng.shuffle(train_ids)
+            if resident_mp:
+                # batch composition changed: re-upload the pool in the new
+                # order (one bulk transfer, off the step path)
+                pool, mask_pool = _build_pool()
     if writer is not None:
         writer.close()
     return params, state, history
@@ -479,10 +483,15 @@ def train_triplet(model, train_set, val_set, output_dir: str,
             for labels, data in triplet_batches(dataset, batch_size,
                                                 shuffle=training, rng=rng):
                 if multiproc:
-                    if len(data) % mesh.shape["data"]:
+                    full_rows = batch_size * dataset.n_sample
+                    if (len(data) != full_rows
+                            or len(data) % mesh.shape["data"]):
                         # trailing partial batch: multi-process shard
-                        # shapes must be static and divisible — drop it
-                        # (same policy as train_vqvae)
+                        # shapes must be static — ANY second shape (even
+                        # one that happens to divide the shard count)
+                        # would compile a second train-step program, so
+                        # drop everything short of the full batch (same
+                        # policy as train_vqvae's up-front truncation)
                         continue
                     batch = put_global(np.asarray(data, np.float32),
                                        batch_sharding(mesh, data.ndim))
@@ -518,6 +527,16 @@ def train_triplet(model, train_set, val_set, output_dir: str,
         # miner has no positive_triplet metric (monitor total_loss — the
         # reference's own loop would crash here, run_training.py:818 +
         # losses.py:263 returning None)
+        if not train_losses:
+            # zero train batches ran this epoch: empty dataset, or (multi-
+            # process) everything was dropped by the full-batch-only feed
+            raise ValueError(
+                f"no training batches ran: the dataset ({len(train_set)} "
+                f"anchors) must cover at least one "
+                f"{'full ' if multiproc else ''}batch of {batch_size} "
+                "anchors" + (" (multi-process runs drop partial batches; "
+                             "shrink batch_size or add data)"
+                             if multiproc else ""))
         monitored = val_losses or train_losses
         metric = earlystop_metric if earlystop_metric in monitored \
             else "total_loss"
